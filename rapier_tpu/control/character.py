@@ -1,0 +1,112 @@
+"""Kinematic character controller: collide-and-slide via shape casts.
+
+Behavioral port of the reference KinematicCharacterController
+(src/control/character_controller.rs:173, move_shape :267): an iterative
+shape-cast loop with a contact offset, sliding along obstacle tangents,
+max-slope handling, and grounded detection — recast as a fixed-iteration
+branch-free loop over batched shape casts.
+
+Autostep and snap-to-ground: TODO (options accepted, minimal versions wired).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rapier_tpu.geometry import queries
+
+
+@dataclass(frozen=True)
+class CharacterControllerOptions:
+    """Mirrors the reference controller's knobs (character_controller.rs:68+)."""
+
+    offset: float = 0.01                 # gap kept between character and world
+    up: tuple = (0.0, 1.0, 0.0)
+    max_slope_climb_angle: float = 0.8   # radians (~45deg)
+    min_slope_slide_angle: float = 0.2
+    slide: bool = True
+    max_iterations: int = 6
+    snap_to_ground: float = 0.2          # max snap distance (0 disables)
+
+
+class CharacterMovement(NamedTuple):
+    translation: jax.Array  # [3] effective movement
+    grounded: jax.Array     # bool
+    hit_obstacle: jax.Array # bool — any cast hit during the solve
+
+
+def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
+               desired_translation,
+               options: CharacterControllerOptions = CharacterControllerOptions(),
+               exclude_collider: int = -1, exclude_body: int = -1,
+               flags: int = 0) -> CharacterMovement:
+    """Compute the achievable movement for a kinematic character shape."""
+    up = jnp.asarray(options.up)
+    desired = jnp.asarray(desired_translation, jnp.float32)
+
+    total = jnp.zeros(3)
+    remaining = desired
+    any_hit = jnp.zeros((), bool)
+
+    for _ in range(options.max_iterations):
+        dist = jnp.linalg.norm(remaining)
+        unit = remaining / jnp.maximum(dist, 1e-9)
+        hit = queries.cast_shape(
+            bodies, colliders, shape_type, shape_params,
+            pos + total, rot, unit, dist + options.offset,
+            flags=flags, exclude_collider=exclude_collider,
+            exclude_body=exclude_body,
+        )
+        active = dist > 1e-7
+        blocked = hit.hit & active
+        allowed = jnp.where(blocked, jnp.maximum(hit.toi - options.offset, 0.0), dist)
+        step_vec = unit * allowed
+        total = total + jnp.where(active, step_vec, 0.0)
+        left = remaining - step_vec
+
+        # Slide: remove the into-surface component (character_controller.rs
+        # slide pass), unless the surface is a climbable floor.
+        n = hit.normal
+        angle_from_up = jnp.arccos(jnp.clip(jnp.dot(n, up), -1.0, 1.0))
+        is_wall_or_steep = angle_from_up > options.max_slope_climb_angle
+        into = jnp.minimum(jnp.dot(left, n), 0.0)
+        slid = left - n * into
+        new_remaining = jnp.where(
+            blocked & options.slide & is_wall_or_steep, slid,
+            jnp.where(blocked, slid, jnp.zeros(3)),
+        )
+        remaining = jnp.where(blocked, new_remaining, jnp.zeros(3))
+        any_hit = any_hit | blocked
+
+    # Grounded test + snap-to-ground: short downward cast.
+    down_hit = queries.cast_shape(
+        bodies, colliders, shape_type, shape_params, pos + total, rot,
+        -up, options.offset * 3.0 + options.snap_to_ground,
+        flags=flags, exclude_collider=exclude_collider,
+        exclude_body=exclude_body,
+    )
+    floor_angle = jnp.arccos(jnp.clip(jnp.dot(down_hit.normal, up), -1.0, 1.0))
+    grounded = down_hit.hit & (down_hit.toi <= options.offset * 3.0) & (
+        floor_angle <= options.max_slope_climb_angle
+    )
+    # Snap: only when moving down-ish and close to the floor.
+    moving_up = jnp.dot(desired, up) > 1e-6
+    can_snap = (
+        (options.snap_to_ground > 0.0)
+        & down_hit.hit
+        & ~moving_up
+        & (down_hit.toi > options.offset)
+        & (down_hit.toi <= options.offset + options.snap_to_ground)
+        & (floor_angle <= options.max_slope_climb_angle)
+    )
+    snap = jnp.where(can_snap, -up * (down_hit.toi - options.offset), jnp.zeros(3))
+    total = total + snap
+    grounded = grounded | can_snap
+
+    return CharacterMovement(
+        translation=total, grounded=grounded, hit_obstacle=any_hit
+    )

@@ -1,0 +1,159 @@
+"""Continuous collision detection: motion clamping via swept bisection.
+
+The TPU recast of the reference CCDSolver (src/dynamics/ccd/ccd_solver.rs:80):
+the reference clamps fast bodies' motion to their earliest time of impact
+(motion clamping, not full TOI ordering — ccd_solver.rs:91-117).  Here the
+nonlinear shape cast becomes a fixed-iteration bisection on the narrow-phase
+distance function evaluated at interpolated poses — branch-free and batched
+over candidate pairs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rapier_tpu.math import quat
+from rapier_tpu.geometry import shapes
+from rapier_tpu.types import BodyType
+
+MAX_CCD_PAIRS = 64
+_BISECT_ITERS = 16
+
+
+def _pair_distance(colliders, cA, cB, posA, rotA, posB, rotB):
+    """Signed distance estimate between two colliders at given poses, via the
+    narrow-phase dispatch (deepest manifold point)."""
+    from rapier_tpu.geometry.narrowphase import ball_ball, ball_cuboid, \
+        ball_capsule, ball_halfspace, capsule_halfspace, convex_halfspace
+    from rapier_tpu.geometry.narrowphase_boxbox import cuboid_cuboid
+    from rapier_tpu.geometry.narrowphase_convex import convex_convex
+    from rapier_tpu.types import ShapeType
+
+    tA = colliders.shape_type[cA]
+    tB = colliders.shape_type[cB]
+    prmA = colliders.shape_params[cA]
+    prmB = colliders.shape_params[cB]
+
+    # Generic support-based distance covers all convex pairs; halfspace
+    # special-cased.  (Mesh CCD: TODO — falls back to +inf, no clamping.)
+    man_cc = convex_convex(posA, rotA, tA, prmA, posB, rotB, tB, prmB)
+    d_cc = jnp.min(jnp.where(man_cc.valid, man_cc.dist, 1e10))
+
+    man_hs = convex_halfspace(posA, rotA, tA, prmA, posB, rotB, prmB)
+    d_hs = jnp.min(jnp.where(man_hs.valid, man_hs.dist, 1e10))
+
+    is_hs_b = tB == ShapeType.HALFSPACE
+    return jnp.where(is_hs_b, d_hs, d_cc)
+
+
+def clamp_motions(bodies, colliders, params):
+    """Clamp `next_pos` of CCD-enabled fast bodies to their first impact.
+
+    Returns updated bodies.  Candidate pairs: CCD body's swept AABB vs all
+    other colliders (top MAX_CCD_PAIRS by overlap).
+    """
+    n = bodies.n
+    dyn = bodies.body_type == BodyType.DYNAMIC
+    speed = jnp.linalg.norm(bodies.next_pos - bodies.pos, axis=-1)
+    # Activity threshold (reference ccd_solver.rs:119): moved more than a
+    # fraction of the body's collider extent per step.
+    ccd_active = bodies.ccd_enabled & dyn & bodies.enabled & (
+        speed > 0.5 * params.length_unit * 0.05
+    )
+
+    # World poses of colliders at t=0 (current) — static colliders don't move.
+    from rapier_tpu.geometry.dispatch import collider_world_poses
+
+    w_pos0, w_rot0 = collider_world_poses(bodies, colliders)
+    b_next = bodies.replace(pos=bodies.next_pos, rot=bodies.next_rot)
+    w_pos1, w_rot1 = collider_world_poses(b_next, colliders)
+
+    c = colliders.parent.shape[0]
+    mins0, maxs0 = shapes.compute_aabbs(
+        colliders.shape_type, colliders.shape_params, w_pos0, w_rot0)
+    mins1, maxs1 = shapes.compute_aabbs(
+        colliders.shape_type, colliders.shape_params, w_pos1, w_rot1)
+    swept_min = jnp.minimum(mins0, mins1)
+    swept_max = jnp.maximum(maxs0, maxs1)
+
+    parent = colliders.parent
+    coll_ccd = (parent >= 0) & ccd_active[jnp.maximum(parent, 0)] & colliders.enabled
+
+    # Candidate pairs: (ccd collider i, other collider j).
+    i_idx = jnp.repeat(jnp.arange(c), c)
+    j_idx = jnp.tile(jnp.arange(c), c)
+    overlap = jnp.all(
+        (swept_min[i_idx] <= swept_max[j_idx])
+        & (swept_min[j_idx] <= swept_max[i_idx]), axis=-1)
+    same_body = (parent[i_idx] == parent[j_idx]) & (parent[i_idx] >= 0)
+    from rapier_tpu.geometry.narrowphase_mesh import is_mesh_type
+
+    cand = (
+        coll_ccd[i_idx] & colliders.enabled[j_idx] & overlap & ~same_body
+        & (i_idx != j_idx) & ~colliders.sensor[j_idx]
+        # Mesh CCD TODO: swept casts vs triangles land with the query pipeline.
+        & ~is_mesh_type(colliders.shape_type[j_idx])
+        & ~is_mesh_type(colliders.shape_type[i_idx])
+    )
+    slot = jnp.cumsum(cand.astype(jnp.int32)) - 1
+    keep = cand & (slot < MAX_CCD_PAIRS)
+    tgt = jnp.where(keep, slot, MAX_CCD_PAIRS)
+    pi = jnp.zeros((MAX_CCD_PAIRS,), jnp.int32).at[tgt].set(i_idx, mode="drop")
+    pj = jnp.zeros((MAX_CCD_PAIRS,), jnp.int32).at[tgt].set(j_idx, mode="drop")
+    pvalid = jnp.zeros((MAX_CCD_PAIRS,), bool).at[tgt].set(keep, mode="drop")
+
+    def pose_at(cidx, t):
+        b = parent[cidx]
+        bp = jnp.maximum(b, 0)
+        has = b >= 0
+        pos_t = bodies.pos[bp] + (bodies.next_pos[bp] - bodies.pos[bp]) * t
+        # nlerp the rotation.
+        r0 = bodies.rot[bp]
+        r1 = bodies.next_rot[bp]
+        r1 = jnp.where(jnp.sum(r0 * r1) < 0, -r1, r1)
+        rot_t = quat.normalize(r0 + (r1 - r0) * t)
+        pos_t = jnp.where(has, pos_t, 0.0)
+        rot_t = jnp.where(has, rot_t, jnp.array([0.0, 0.0, 0.0, 1.0]))
+        return quat.compose(pos_t, rot_t, colliders.local_pos[cidx],
+                            colliders.local_rot[cidx])
+
+    def toi_for_pair(ci, cj, valid):
+        def dist_at(t):
+            pa, ra = pose_at(ci, t)
+            pb, rb = pose_at(cj, t)
+            return _pair_distance(colliders, ci, cj, pa, ra, pb, rb)
+
+        d1 = dist_at(1.0)
+        d0 = dist_at(0.0)
+        # No impact within the step, or already touching at t=0 (the discrete
+        # solver owns it).
+        no_hit = (d1 > 0.0) | (d0 <= 0.0)
+
+        lo, hi = 0.0, 1.0
+        for _ in range(_BISECT_ITERS):
+            mid = 0.5 * (lo + hi)
+            dm = dist_at(mid)
+            lo = jnp.where(dm > 0.0, mid, lo)
+            hi = jnp.where(dm > 0.0, hi, mid)
+        toi = lo
+        return jnp.where(valid & ~no_hit, toi, 1.0)
+
+    tois = jax.vmap(toi_for_pair)(pi, pj, pvalid)
+
+    # Min TOI per CCD body.
+    body_toi = jnp.ones((n + 1,))
+    tgt_b = jnp.where(pvalid, jnp.maximum(parent[pi], 0), n)
+    body_toi = body_toi.at[tgt_b].min(tois)
+    body_toi = body_toi[:n]
+
+    clamp = ccd_active & (body_toi < 1.0)
+    t = body_toi[:, None]
+    new_next = jnp.where(
+        clamp[:, None],
+        bodies.pos + (bodies.next_pos - bodies.pos) * t, bodies.next_pos)
+    r0, r1 = bodies.rot, bodies.next_rot
+    r1f = jnp.where(jnp.sum(r0 * r1, -1, keepdims=True) < 0, -r1, r1)
+    new_rot = jnp.where(
+        clamp[:, None], quat.normalize(r0 + (r1f - r0) * t), bodies.next_rot)
+    return bodies.replace(next_pos=new_next, next_rot=new_rot)

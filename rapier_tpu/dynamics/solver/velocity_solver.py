@@ -1,0 +1,231 @@
+"""TGS-soft velocity solver: substep loop over colored constraint sweeps.
+
+Behavioral port of the reference VelocitySolver
+(src/dynamics/solver/velocity_solver.rs:151-211) and IslandSolver's small-step
+scaling (island_solver.rs:50-54): substep dt = dt / num_solver_iterations; per
+substep: external-force velocity increments, soft-rhs update, warmstart,
+`num_internal_pgs_iterations` Gauss-Seidel passes, linearized position
+integration, then bias-free stabilization passes.  Islands are replaced by a
+single batched solve with colored sweeps (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rapier_tpu.math import quat
+from rapier_tpu.types import (
+    LOCK_ROTATION_X,
+    LOCK_TRANSLATION_X,
+    BodyType,
+    SimParams,
+    spring_cfm_factor,
+    spring_erp_inv_dt,
+)
+from rapier_tpu.dynamics.solver import contact_constraints as cc
+from rapier_tpu.dynamics.solver import joint_constraints as jc
+
+
+def effective_inv_mass(bodies, active):
+    """Per-axis effective inverse mass (locked translations zeroed), reference
+    RigidBodyMassProps::effective_inv_mass."""
+    locks = bodies.locked_axes[:, None]
+    axis_bits = jnp.array(
+        [LOCK_TRANSLATION_X, LOCK_TRANSLATION_X << 1, LOCK_TRANSLATION_X << 2]
+    )
+    unlocked = (locks & axis_bits[None, :]) == 0
+    im = bodies.inv_mass[:, None] * unlocked
+    dyn = (bodies.body_type == BodyType.DYNAMIC) & active
+    return jnp.where(dyn[:, None], im, 0.0)
+
+
+def effective_world_inv_inertia(bodies, active):
+    """World-frame effective inverse inertia [N,3,3] with locked rotation rows
+    and columns zeroed (reference effective_world_inv_inertia)."""
+    rot_world = quat.mul(bodies.rot, bodies.principal_frame)
+    m = quat.to_matrix(rot_world)
+    ii = jnp.einsum(
+        "nij,nj,nkj->nik", m, bodies.inv_principal_inertia, m
+    )
+    locks = bodies.locked_axes[:, None]
+    axis_bits = jnp.array(
+        [LOCK_ROTATION_X, LOCK_ROTATION_X << 1, LOCK_ROTATION_X << 2]
+    )
+    unlocked = ((locks & axis_bits[None, :]) == 0).astype(ii.dtype)  # [N,3]
+    ii = ii * unlocked[:, :, None] * unlocked[:, None, :]
+    dyn = (bodies.body_type == BodyType.DYNAMIC) & active
+    return jnp.where(dyn[:, None, None], ii, 0.0)
+
+
+def gyroscopic_angvel(bodies, dt):
+    """Momentum-preserving explicit gyroscopic term
+    (reference rigid_body.rs:1443-1462, Jolt-style capped momentum)."""
+    rot_world = quat.mul(bodies.rot, bodies.principal_frame)
+    w_local = quat.inv_rotate(rot_world, bodies.angvel)
+    inertia = jnp.where(
+        bodies.inv_principal_inertia > 0, 1.0 / jnp.maximum(bodies.inv_principal_inertia, 1e-30), 0.0
+    )
+    momentum = inertia * w_local
+    gyro = -jnp.cross(w_local, momentum) * dt
+    total = momentum + gyro
+    tot_sq = jnp.sum(total * total, axis=-1, keepdims=True)
+    cur_sq = jnp.sum(momentum * momentum, axis=-1, keepdims=True)
+    capped = total * jnp.sqrt(cur_sq / jnp.maximum(tot_sq, 1e-30))
+    new_w = quat.rotate(rot_world, bodies.inv_principal_inertia * capped)
+    ok = (tot_sq[..., 0] > 0.0) & bodies.gyro_enabled & (bodies.body_type == BodyType.DYNAMIC)
+    return jnp.where(ok[:, None], new_w, bodies.angvel)
+
+
+def make_solver_bodies(bodies, active, params: SimParams) -> cc.SolverBodies:
+    """Build the N+1 solver-body arrays (sentinel slot N zeroed).
+
+    Mirrors SolverBodies::copy_from (solver_body.rs:95-128): pose at COM,
+    gyroscopic angular velocity, im/ii zeroed for non-dynamic bodies.
+    """
+    n = bodies.n
+    im = effective_inv_mass(bodies, active)
+    ii = effective_world_inv_inertia(bodies, active)
+
+    com = bodies.pos + quat.rotate(bodies.rot, bodies.local_com)
+    angvel = gyroscopic_angvel(bodies, params.dt)
+
+    moving = active & (
+        (bodies.body_type == BodyType.DYNAMIC) | bodies.is_kinematic()
+    )
+    v_lin = jnp.where(moving[:, None], bodies.linvel, 0.0)
+    v_ang = jnp.where(moving[:, None], angvel, 0.0)
+
+    pad3 = jnp.zeros((1, 3))
+    return cc.SolverBodies(
+        v_lin=jnp.concatenate([v_lin, pad3]),
+        v_ang=jnp.concatenate([v_ang, pad3]),
+        com=jnp.concatenate([com, pad3]),
+        rot=jnp.concatenate([bodies.rot, jnp.array([[0.0, 0.0, 0.0, 1.0]])]),
+        im=jnp.concatenate([im, pad3]),
+        ii=jnp.concatenate([ii, jnp.zeros((1, 3, 3))]),
+    )
+
+
+def velocity_increments(bodies, sb: cc.SolverBodies, active, params, dt_sub):
+    """Per-substep external velocity increments (gravity + persistent forces),
+    reference velocity_solver.rs:115-122."""
+    dyn = active & (bodies.body_type == BodyType.DYNAMIC)
+    im = sb.im[:-1]
+    unlocked = (im > 0).astype(jnp.float32)
+    grav = params.gravity[None, :] * bodies.gravity_scale[:, None] * unlocked
+    dv = (grav + bodies.force * im) * dt_sub
+    dw = jnp.einsum("nij,nj->ni", sb.ii[:-1], bodies.torque) * dt_sub
+    dv = jnp.where(dyn[:, None], dv, 0.0)
+    dw = jnp.where(dyn[:, None], dw, 0.0)
+    pad = jnp.zeros((1, 3))
+    return jnp.concatenate([dv, pad]), jnp.concatenate([dw, pad])
+
+
+def integrate_poses(sb: cc.SolverBodies, move_mask, dt_sub) -> cc.SolverBodies:
+    """Linearized pose integration (velocity_solver.rs:213-238)."""
+    com = sb.com + jnp.where(move_mask[:, None], sb.v_lin * dt_sub, 0.0)
+    rot_new = quat.integrate_linearized(sb.rot, sb.v_ang, dt_sub)
+    rot = jnp.where(move_mask[:, None], rot_new, sb.rot)
+    return sb._replace(com=com, rot=rot)
+
+
+def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
+          num_colors, active, params: SimParams,
+          joints=None, joint_color=None, num_joint_colors=None):
+    """Run the full TGS-soft substep loop.
+
+    Returns (sb, constraints, joint_rows).  `joint_rows` is None when no
+    joints were passed; otherwise it carries the last-substep impulses.
+    """
+    n_sub = params.num_solver_iterations
+    dt_sub = params.dt / n_sub
+    inv_dt_sub = jnp.where(dt_sub == 0, 0.0, 1.0 / dt_sub)
+
+    erp_inv_dt = spring_erp_inv_dt(
+        params.contact_natural_frequency, params.contact_damping_ratio, dt_sub
+    )
+    cfm_factor = spring_cfm_factor(
+        params.contact_natural_frequency, params.contact_damping_ratio, dt_sub
+    )
+
+    dv_inc, dw_inc = velocity_increments(bodies, sb, active, params, dt_sub)
+    move_mask = jnp.concatenate([
+        active & ((bodies.body_type == BodyType.DYNAMIC) | bodies.is_kinematic()),
+        jnp.zeros((1,), bool),
+    ])
+
+    def contact_sweep(constraints, sb, use_bias):
+        def body_fn(ci, carry):
+            cons, s = carry
+            return cc.solve_color(cons, s, ci, use_bias=use_bias)
+        return jax.lax.fori_loop(0, num_colors, body_fn, (constraints, sb))
+
+    def joint_sweep(rows, sb, use_bias):
+        def body_fn(ci, carry):
+            r, s = carry
+            return jc.solve_color(r, s, ci, use_bias=use_bias)
+        return jax.lax.fori_loop(0, num_joint_colors, body_fn, (rows, sb))
+
+    rows = None
+    for _substep in range(n_sub):
+        sb = sb._replace(v_lin=sb.v_lin + dv_inc, v_ang=sb.v_ang + dw_inc)
+
+        # Joint rows are fully rebuilt from current poses each substep
+        # (reference joint_constraint_builder.rs:66-106).
+        if joints is not None:
+            rows = jc.build_rows(
+                joints, sb, joint_color, dt_sub, inv_dt_sub, bodies.n
+            )
+
+        constraints = cc.update(
+            constraints, sb,
+            cfm_factor=cfm_factor, inv_dt=inv_dt_sub,
+            allowed_lin_err=params.allowed_linear_error(),
+            erp_inv_dt=erp_inv_dt,
+            max_corrective_velocity=params.max_corrective_velocity(),
+            warmstart_coeff=params.warmstart_coefficient,
+        )
+        sb = cc.warmstart(constraints, sb)
+
+        for _pgs in range(params.num_internal_pgs_iterations):
+            if joints is not None:
+                rows, sb = joint_sweep(rows, sb, True)
+            constraints, sb = contact_sweep(constraints, sb, True)
+
+        sb = integrate_poses(sb, move_mask, dt_sub)
+
+        for _stab in range(params.num_internal_stabilization_iterations):
+            if joints is not None:
+                rows, sb = joint_sweep(rows, sb, False)
+            constraints, sb = contact_sweep(constraints, sb, False)
+
+    return sb, constraints, rows
+
+
+def writeback(bodies, sb: cc.SolverBodies, active, params: SimParams):
+    """Write solver results back to body state (velocity_solver.rs:291-351):
+    damping applied once with the full dt; next pose from the COM pose."""
+    dyn = active & (bodies.body_type == BodyType.DYNAMIC)
+    lin_f = 1.0 / (1.0 + params.dt * bodies.linear_damping)
+    ang_f = 1.0 / (1.0 + params.dt * bodies.angular_damping)
+    linvel = jnp.where(dyn[:, None], sb.v_lin[:-1] * lin_f[:, None], bodies.linvel)
+    angvel = jnp.where(dyn[:, None], sb.v_ang[:-1] * ang_f[:, None], bodies.angvel)
+
+    # next pose: body origin = com - R * local_com.
+    rot = sb.rot[:-1]
+    pos = sb.com[:-1] - quat.rotate(rot, bodies.local_com)
+    move = active & (
+        (bodies.body_type == BodyType.DYNAMIC)
+        | (bodies.body_type == BodyType.KINEMATIC_VELOCITY_BASED)
+    )
+    # Kinematic position-based bodies keep the exact user-provided target.
+    kin_pos = bodies.body_type == BodyType.KINEMATIC_POSITION_BASED
+    next_pos = jnp.where(move[:, None], pos,
+               jnp.where(kin_pos[:, None], bodies.next_pos, bodies.pos))
+    next_rot = jnp.where(move[:, None], rot,
+               jnp.where(kin_pos[:, None], bodies.next_rot, bodies.rot))
+
+    return bodies.replace(
+        linvel=linvel, angvel=angvel, next_pos=next_pos, next_rot=next_rot
+    )

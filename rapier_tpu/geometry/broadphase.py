@@ -1,0 +1,146 @@
+"""Broad phase: AABB pair finding as dense, sort-based kernels.
+
+Replaces the reference's incremental BVH broad phase
+(src/geometry/broad_phase_bvh.rs:92-256) with TPU-friendly strategies
+(SURVEY §7): all-pairs masked testing for small scenes (the vmapped-RL case)
+and sort-based sweep-and-prune with a fixed window for large scenes.  Both
+produce a fixed-capacity pair buffer + validity mask via cumsum compaction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rapier_tpu.types import BodyType, BroadPhaseKind
+
+
+def _pair_filter_mask(c1, c2, colliders, body_type):
+    """Cheap pre-filters applied in the broad phase (reference applies them in
+    the narrow phase, src/geometry/narrow_phase.rs:834-932; hoisting them here
+    saves pair-buffer slots and is behaviorally identical).
+
+    Args:
+      c1, c2: int32 arrays of candidate collider indices.
+      colliders: Colliders.
+      body_type: [N] int32 body types.
+    """
+    enabled = colliders.enabled[c1] & colliders.enabled[c2]
+
+    p1 = colliders.parent[c1]
+    p2 = colliders.parent[c2]
+    same_parent = (p1 == p2) & (p1 >= 0)
+
+    # Default ActiveCollisionTypes: at least one side attached to a dynamic body.
+    t1 = jnp.where(p1 >= 0, body_type[jnp.maximum(p1, 0)], int(BodyType.FIXED))
+    t2 = jnp.where(p2 >= 0, body_type[jnp.maximum(p2, 0)], int(BodyType.FIXED))
+    any_dynamic = (t1 == BodyType.DYNAMIC) | (t2 == BodyType.DYNAMIC)
+
+    # InteractionGroups AND test (reference src/geometry/interaction_groups.rs,
+    # default test mode): (m1 & f2) != 0 && (m2 & f1) != 0.
+    g1 = colliders.collision_groups[c1]
+    g2 = colliders.collision_groups[c2]
+    m1, f1 = g1 >> 16, g1 & 0xFFFF
+    m2, f2 = g2 >> 16, g2 & 0xFFFF
+    groups_ok = ((m1 & f2) != 0) & ((m2 & f1) != 0)
+
+    return enabled & ~same_parent & any_dynamic & groups_ok
+
+
+def _compact_pairs(c1, c2, mask, max_pairs):
+    """Compact masked candidate pairs into a fixed [P] buffer.
+
+    Deterministic: preserves candidate order.  Overflowing pairs are dropped
+    and counted (graceful degradation per SURVEY §7 hard-part #1).
+    """
+    slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    total = jnp.sum(mask.astype(jnp.int32))
+    keep = mask & (slot < max_pairs)
+    out1 = jnp.full((max_pairs,), -1, jnp.int32)
+    out2 = jnp.full((max_pairs,), -1, jnp.int32)
+    tgt = jnp.where(keep, slot, max_pairs)  # dropped -> scatter to OOB (no-op)
+    out1 = out1.at[tgt].set(c1.astype(jnp.int32), mode="drop")
+    out2 = out2.at[tgt].set(c2.astype(jnp.int32), mode="drop")
+    valid = jnp.arange(max_pairs) < jnp.minimum(total, max_pairs)
+    overflow = jnp.maximum(total - max_pairs, 0)
+    return out1, out2, valid, overflow
+
+
+@functools.lru_cache(maxsize=None)
+def _triu_indices(c: int):
+    # NOTE: cache NumPy only — caching jnp arrays created inside a jit trace
+    # leaks tracers across traces.
+    i, j = np.triu_indices(c, k=1)
+    return i.astype(np.int32), j.astype(np.int32)
+
+
+def find_pairs_all(mins, maxs, colliders, body_type, max_pairs: int):
+    """All-pairs O(C^2) broad phase. Right choice for C <~ 256."""
+    c = mins.shape[0]
+    i, j = _triu_indices(c)
+    overlap = jnp.all(
+        (mins[i] <= maxs[j]) & (mins[j] <= maxs[i]), axis=-1
+    )
+    mask = overlap & _pair_filter_mask(i, j, colliders, body_type)
+    return _compact_pairs(i, j, mask, max_pairs)
+
+
+def find_pairs_sap(mins, maxs, colliders, body_type, max_pairs: int, window: int):
+    """Sort-based sweep-and-prune with a fixed candidate window.
+
+    Sorts AABB minima along the highest-variance axis; each collider is tested
+    against the next `window` colliders in sorted order.  Colliders whose
+    x-interval extends past the window contribute to `overflow` (missed-pair
+    risk indicator) so callers can bump `window`.
+    """
+    c = mins.shape[0]
+    centers = 0.5 * (mins + maxs)
+    var = jnp.var(jnp.where(colliders.enabled[:, None], centers, 0.0), axis=0)
+    axis = jnp.argmax(var)
+
+    key = jnp.where(colliders.enabled, mins[jnp.arange(c), axis], jnp.inf)
+    order = jnp.argsort(key)
+
+    s_min = mins[order]
+    s_max = maxs[order]
+    s_key = key[order]
+
+    # Candidate (i, i+k) for k in 1..window.
+    base = jnp.arange(c)
+    offs = jnp.arange(1, window + 1)
+    i_idx = jnp.repeat(base, window)                    # [c*window]
+    j_idx = (base[:, None] + offs[None, :]).reshape(-1)  # [c*window]
+    in_range = j_idx < c
+    j_clamped = jnp.minimum(j_idx, c - 1)
+
+    # Interval overlap along sweep axis + full AABB overlap.
+    max_i_axis = s_max[jnp.arange(c), axis]
+    sweep_ok = s_key[j_clamped] <= max_i_axis[i_idx]
+    aabb_ok = jnp.all(
+        (s_min[i_idx] <= s_max[j_clamped]) & (s_min[j_clamped] <= s_max[i_idx]),
+        axis=-1,
+    )
+
+    c1 = order[i_idx]
+    c2 = order[j_clamped]
+    lo = jnp.minimum(c1, c2)
+    hi = jnp.maximum(c1, c2)
+    mask = in_range & sweep_ok & aabb_ok & _pair_filter_mask(lo, hi, colliders, body_type)
+
+    out1, out2, valid, overflow = _compact_pairs(lo, hi, mask, max_pairs)
+
+    # Window-miss detection: i's interval still open at i+window.
+    far = jnp.minimum(base + window, c - 1)
+    missed = (base + window < c) & (s_key[far] <= max_i_axis)
+    overflow = overflow + jnp.sum(missed.astype(jnp.int32))
+    return out1, out2, valid, overflow
+
+
+def find_pairs(mins, maxs, colliders, body_type, max_pairs: int,
+               kind: int, window: int = 64):
+    if kind == BroadPhaseKind.SAP:
+        return find_pairs_sap(mins, maxs, colliders, body_type, max_pairs, window)
+    return find_pairs_all(mins, maxs, colliders, body_type, max_pairs)

@@ -1,0 +1,437 @@
+"""Narrow-phase dispatcher: shape-pair-type kernel selection over pair lanes.
+
+The analog of parry's `QueryDispatcher` + the reference narrow phase's
+per-pair loop (src/geometry/narrow_phase.rs:809-1150), recast as: run every
+analytic kernel on every pair lane (vectorized), select by type mask.  The
+per-kernel cost is elementwise VPU work, so computing all kernels and
+selecting is cheap; pair-type bucketing is a later optimization (SURVEY §7 M5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rapier_tpu.math import quat
+from rapier_tpu.geometry import narrowphase as nph
+from rapier_tpu.geometry.narrowphase_boxbox import cuboid_cuboid
+from rapier_tpu.types import BodyType, CoefficientCombineRule, ShapeType
+
+
+class ManifoldBatch(NamedTuple):
+    """Per-pair contact manifolds + solver metadata (leading axis P)."""
+
+    collider1: jax.Array   # [P] int32
+    collider2: jax.Array   # [P] int32
+    body1: jax.Array       # [P] int32 (-1 = static environment)
+    body2: jax.Array       # [P] int32
+    pair_key: jax.Array    # [P] int32 (c1 * C + c2, c1 < c2; -1 invalid)
+    normal: jax.Array      # [P, 3] world, from collider1 towards collider2
+    point: jax.Array       # [P, 4, 3] world midpoints
+    dist: jax.Array        # [P, 4] effective distance (skins subtracted)
+    fid: jax.Array         # [P, 4] int32
+    point_valid: jax.Array # [P, 4] bool — geometric validity
+    point_active: jax.Array  # [P, 4] bool — kept as solver contact
+    valid: jax.Array       # [P] bool — pair lane occupied & manifold computed
+    unsupported: jax.Array # scalar int32 — overlapping pairs with no kernel
+    solver_pair: jax.Array # [P] bool — participates in constraint solve
+    touching: jax.Array    # [P] bool — any point with dist <= 0 (events)
+    friction: jax.Array    # [P]
+    restitution: jax.Array # [P]
+    rel_dominance: jax.Array  # [P] int32
+
+
+def _combine_material(v1, v2, rule1, rule2):
+    """CoefficientCombineRule: rule with the greater enum value wins
+    (reference src/dynamics/coefficient_combine_rule.rs)."""
+    rule = jnp.maximum(rule1, rule2)
+    avg = (v1 + v2) * 0.5
+    mn = jnp.minimum(v1, v2)
+    mul = v1 * v2
+    mx = jnp.maximum(v1, v2)
+    return jnp.where(rule == CoefficientCombineRule.MIN, mn,
+           jnp.where(rule == CoefficientCombineRule.MULTIPLY, mul,
+           jnp.where(rule == CoefficientCombineRule.MAX, mx, avg)))
+
+
+def collider_world_poses(bodies, colliders):
+    """World pose of every collider: parent pose ∘ local pose."""
+    parent = colliders.parent
+    safe_p = jnp.maximum(parent, 0)
+    has_parent = parent >= 0
+    bp = jnp.where(has_parent[:, None], bodies.pos[safe_p], 0.0)
+    br = jnp.where(
+        has_parent[:, None],
+        bodies.rot[safe_p],
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]), (parent.shape[0], 4)),
+    )
+    w_pos, w_rot = quat.compose(bp, br, colliders.local_pos, colliders.local_rot)
+    return w_pos, w_rot
+
+
+def _swapped(kernel):
+    """Adapt a kernel written for (X, Y) order to canonical (Y, X) lanes:
+    swap the shape arguments and flip the resulting normal."""
+
+    def run(pA, rA, prmA, pB, rB, prmB):
+        man = kernel(pB, rB, prmB, pA, rA, prmA)
+        return man._replace(normal=-man.normal)
+
+    return run
+
+
+# Registry of analytic kernels keyed by canonically-ordered type pairs
+# (keys MUST satisfy key[0] <= key[1] in ShapeType order — the dispatcher
+# sorts each lane's shapes that way before kernel selection).
+_PAIR_KERNELS = {
+    (ShapeType.BALL, ShapeType.BALL): nph.ball_ball,
+    (ShapeType.BALL, ShapeType.CUBOID): nph.ball_cuboid,
+    (ShapeType.BALL, ShapeType.CAPSULE): nph.ball_capsule,
+    (ShapeType.CAPSULE, ShapeType.CAPSULE): nph.capsule_capsule,
+    (ShapeType.CUBOID, ShapeType.CAPSULE): _swapped(nph.capsule_cuboid),
+    (ShapeType.CUBOID, ShapeType.CUBOID): cuboid_cuboid,
+}
+assert all(k[0] <= k[1] for k in _PAIR_KERNELS), "registry keys must be canonical"
+
+# Convex types the generic halfspace kernel supports.
+_HALFSPACE_CONVEX = (
+    ShapeType.BALL, ShapeType.CUBOID, ShapeType.CAPSULE, ShapeType.SEGMENT,
+    ShapeType.CYLINDER, ShapeType.CONE, ShapeType.ROUND_CUBOID,
+    ShapeType.ROUND_CYLINDER, ShapeType.ROUND_CONE,
+)
+
+
+def _order_rank(t):
+    """Canonical ordering rank: halfspace always goes to the B slot."""
+    return jnp.where(t == ShapeType.HALFSPACE, 1000, t)
+
+
+def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
+    """Compute contact manifolds for the pair buffer.
+
+    Args:
+      bodies, colliders: scene state.
+      c1, c2: [P] collider indices (c1 < c2 from the broad phase; -1 invalid).
+      pair_valid: [P] bool.
+      prediction: scalar prediction distance.
+    """
+    P = c1.shape[0]
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+
+    s1 = jnp.maximum(c1, 0)
+    s2 = jnp.maximum(c2, 0)
+    t1 = colliders.shape_type[s1]
+    t2 = colliders.shape_type[s2]
+
+    flip = _order_rank(t1) > _order_rank(t2)
+    cA = jnp.where(flip, s2, s1)
+    cB = jnp.where(flip, s1, s2)
+    tA = colliders.shape_type[cA]
+    tB = colliders.shape_type[cB]
+    pA, rA, prmA = w_pos[cA], w_rot[cA], colliders.shape_params[cA]
+    pB, rB, prmB = w_pos[cB], w_rot[cB], colliders.shape_params[cB]
+
+    # Run every kernel on every lane; select by type mask.
+    normal = jnp.zeros((P, 3)).at[:, 1].set(1.0)
+    point = jnp.zeros((P, 4, 3))
+    dist = jnp.full((P, 4), 1e10)
+    fid = jnp.full((P, 4), -1, jnp.int32)
+    pvalid = jnp.zeros((P, 4), bool)
+    matched = jnp.zeros((P,), bool)
+
+    def merge(mask, man: nph.Manifold):
+        nonlocal normal, point, dist, fid, pvalid, matched
+        m3 = mask[:, None]
+        m43 = mask[:, None, None]
+        m4 = mask[:, None]
+        normal = jnp.where(m3, man.normal, normal)
+        point = jnp.where(m43, man.point, point)
+        dist = jnp.where(m4, man.dist, dist)
+        fid = jnp.where(m4, man.fid, fid)
+        pvalid = jnp.where(m4, man.valid, pvalid)
+        matched = matched | mask
+
+    for (ta, tb), kern in _PAIR_KERNELS.items():
+        mask = pair_valid & (tA == ta) & (tB == tb)
+        man = jax.vmap(kern)(pA, rA, prmA, pB, rB, prmB)
+        merge(mask, man)
+
+    # Generic convex-convex fallback (cylinder/cone/round shapes vs anything
+    # convex without a specialized kernel above).
+    from rapier_tpu.geometry.narrowphase_convex import SUPPORTED, convex_convex
+
+    convA = jnp.zeros((P,), bool)
+    convB = jnp.zeros((P,), bool)
+    for t in SUPPORTED:
+        convA = convA | (tA == t)
+        convB = convB | (tB == t)
+    cc_mask = pair_valid & ~matched & convA & convB
+    man_cc = jax.vmap(convex_convex)(pA, rA, tA, prmA, pB, rB, tB, prmB)
+    merge(cc_mask, man_cc)
+
+    # Halfspace kernels: analytic for ball/capsule, generic perturbed-support
+    # for the remaining convex shapes.
+    hs_mask = pair_valid & (tB == ShapeType.HALFSPACE)
+    merge(hs_mask & (tA == ShapeType.BALL),
+          jax.vmap(nph.ball_halfspace)(pA, rA, prmA, pB, rB, prmB))
+    merge(hs_mask & (tA == ShapeType.CAPSULE),
+          jax.vmap(nph.capsule_halfspace)(pA, rA, prmA, pB, rB, prmB))
+    conv_ok = jnp.zeros((P,), bool)
+    for t in _HALFSPACE_CONVEX:
+        if t in (ShapeType.BALL, ShapeType.CAPSULE):
+            continue
+        conv_ok = conv_ok | (tA == t)
+    man_hs = jax.vmap(nph.convex_halfspace)(pA, rA, tA, prmA, pB, rB, prmB)
+    merge(hs_mask & conv_ok, man_hs)
+
+    # Restore original pair orientation: normal points collider1 -> collider2.
+    normal = jnp.where(flip[:, None], -normal, normal)
+
+    # Effective distance: subtract contact skins (reference
+    # narrow_phase.rs:1033 effective_contact_dist).
+    skins = colliders.contact_skin[s1] + colliders.contact_skin[s2]
+    dist = dist - skins[:, None]
+
+    point_active = pvalid & (dist < prediction)
+    touching = pair_valid & jnp.any(pvalid & (dist <= 0.0), axis=-1)
+
+    # Material combination.
+    friction = _combine_material(
+        colliders.friction[s1], colliders.friction[s2],
+        colliders.friction_combine[s1], colliders.friction_combine[s2],
+    )
+    restitution = _combine_material(
+        colliders.restitution[s1], colliders.restitution[s2],
+        colliders.restitution_combine[s1], colliders.restitution_combine[s2],
+    )
+
+    # Bodies + dominance.
+    b1 = jnp.where(pair_valid, colliders.parent[s1], -1)
+    b2 = jnp.where(pair_valid, colliders.parent[s2], -1)
+    bt1 = jnp.where(b1 >= 0, bodies.body_type[jnp.maximum(b1, 0)], int(BodyType.FIXED))
+    bt2 = jnp.where(b2 >= 0, bodies.body_type[jnp.maximum(b2, 0)], int(BodyType.FIXED))
+    dom1 = jnp.where(bt1 == BodyType.DYNAMIC,
+                     bodies.dominance[jnp.maximum(b1, 0)], 127)
+    dom2 = jnp.where(bt2 == BodyType.DYNAMIC,
+                     bodies.dominance[jnp.maximum(b2, 0)], 127)
+    rel_dom = jnp.where(b1 >= 0, dom1, 127) - jnp.where(b2 >= 0, dom2, 127)
+
+    # Sensor pairs & solver-group filter never reach the solver (reference
+    # narrow_phase.rs: intersections graph vs contacts graph; SolverFlags).
+    sensor = colliders.sensor[s1] | colliders.sensor[s2]
+    sg1 = colliders.solver_groups[s1]
+    sg2 = colliders.solver_groups[s2]
+    m1, f1 = sg1 >> 16, sg1 & 0xFFFF
+    m2, f2 = sg2 >> 16, sg2 & 0xFFFF
+    solver_groups_ok = ((m1 & f2) != 0) & ((m2 & f1) != 0)
+    solver_pair = (
+        pair_valid & matched & ~sensor & solver_groups_ok
+        & jnp.any(point_active, axis=-1)
+    )
+
+    n_coll = colliders.parent.shape[0]
+    pair_key = jnp.where(pair_valid, s1 * n_coll + s2, -1)
+
+    # Mesh pairs are handled by compute_mesh_manifolds; drop them here.
+    from rapier_tpu.geometry.narrowphase_mesh import is_mesh_type
+
+    has_mesh = is_mesh_type(t1) | is_mesh_type(t2)
+    pair_valid = pair_valid & ~has_mesh
+
+    return ManifoldBatch(
+        collider1=jnp.where(pair_valid, s1, -1),
+        collider2=jnp.where(pair_valid, s2, -1),
+        body1=b1, body2=b2, pair_key=pair_key,
+        normal=normal, point=point, dist=dist, fid=fid,
+        point_valid=pvalid & pair_valid[:, None],
+        point_active=point_active & pair_valid[:, None],
+        valid=pair_valid & matched,
+        unsupported=jnp.sum((pair_valid & ~matched).astype(jnp.int32)),
+        solver_pair=solver_pair,
+        touching=touching,
+        friction=friction, restitution=restitution,
+        rel_dominance=rel_dom,
+    )
+
+
+def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
+                           prediction, max_mesh_pairs: int, tris_per_pair: int):
+    """Expand (convex, mesh) broad-phase pairs into per-triangle manifolds.
+
+    Returns a ManifoldBatch with max_mesh_pairs * tris_per_pair lanes.  Each
+    lane's pair_key encodes the triangle id so warmstart matching stays stable:
+    key = (c1 * C + c2) + (tri + 1) * C^2  (requires C^2 * (T+1) < 2^31).
+    """
+    from rapier_tpu.geometry import narrowphase_mesh as npm
+
+    pm, k = max_mesh_pairs, tris_per_pair
+    n_coll = colliders.parent.shape[0]
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+
+    s1 = jnp.maximum(c1, 0)
+    s2 = jnp.maximum(c2, 0)
+    t1 = colliders.shape_type[s1]
+    t2 = colliders.shape_type[s2]
+    m1 = npm.is_mesh_type(t1)
+    m2 = npm.is_mesh_type(t2)
+    is_mesh_pair = pair_valid & (m1 ^ m2)
+
+    # Compact mesh pairs: convex side cA, mesh side cM; flip marks the mesh
+    # being collider1 of the original pair.
+    slot = jnp.cumsum(is_mesh_pair.astype(jnp.int32)) - 1
+    keep = is_mesh_pair & (slot < pm)
+    tgt = jnp.where(keep, slot, pm)
+    cA = jnp.full((pm,), 0, jnp.int32).at[tgt].set(
+        jnp.where(m1, s2, s1), mode="drop")
+    cM = jnp.full((pm,), 0, jnp.int32).at[tgt].set(
+        jnp.where(m1, s1, s2), mode="drop")
+    flip = jnp.zeros((pm,), bool).at[tgt].set(m1, mode="drop")
+    lane_valid = jnp.zeros((pm,), bool).at[tgt].set(keep, mode="drop")
+
+    # --- mid-phase: rank triangles by AABB overlap with the convex (in the
+    # mesh collider's local frame) ---
+    tris = meshes.triangles                      # [T, 3]
+    tv0 = meshes.vertices[jnp.maximum(tris[:, 0], 0)]
+    tv1 = meshes.vertices[jnp.maximum(tris[:, 1], 0)]
+    tv2 = meshes.vertices[jnp.maximum(tris[:, 2], 0)]
+    tri_min = jnp.minimum(jnp.minimum(tv0, tv1), tv2)      # [T, 3]
+    tri_max = jnp.maximum(jnp.maximum(tv0, tv1), tv2)
+    tri_ok = tris[:, 0] >= 0
+    t_total = tris.shape[0]
+
+    from rapier_tpu.geometry import shapes as shp
+
+    a_min, a_max = shp.compute_aabbs(
+        colliders.shape_type[cA], colliders.shape_params[cA],
+        w_pos[cA], w_rot[cA],
+    )
+    a_min = a_min - prediction
+    a_max = a_max + prediction
+
+    def rank_lane(ca_min, ca_max, cm, valid):
+        # Convex AABB into mesh-local frame (conservative re-box).
+        mp, mr = w_pos[cm], w_rot[cm]
+        ctr = quat.inv_rotate(mr, 0.5 * (ca_min + ca_max) - mp)
+        he_w = 0.5 * (ca_max - ca_min)
+        m = jnp.abs(quat.to_matrix(quat.conj(mr)))
+        he_l = m @ he_w
+        lo = ctr - he_l
+        hi = ctr + he_l
+        start = colliders.shape_params[cm, 0].astype(jnp.int32)
+        count = colliders.shape_params[cm, 1].astype(jnp.int32)
+        idx = jnp.arange(t_total)
+        in_range = (idx >= start) & (idx < start + count) & tri_ok
+        per_axis = (
+            jnp.minimum(hi[None], tri_max) - jnp.maximum(lo[None], tri_min)
+        )
+        # Degenerate (planar) meshes overlap with exactly-zero extent on one
+        # axis, so the validity test is >= 0 and the ranking score sums the
+        # non-degenerate overlaps.
+        ok = jnp.all(per_axis >= 0.0, axis=-1)
+        score = jnp.sum(jnp.maximum(per_axis, 0.0), axis=-1)
+        score = jnp.where(in_range & valid & ok, score, -1e10)
+        _, top = jax.lax.top_k(score, k)
+        top_valid = jnp.take(score, top) > -1e9
+        return top, top_valid
+
+    top_tri, top_valid = jax.vmap(rank_lane)(a_min, a_max, cM, lane_valid)
+
+    # --- flatten to [pm*k] sub-lanes and run the kernels ---
+    lane_cA = jnp.repeat(cA, k)
+    lane_cM = jnp.repeat(cM, k)
+    lane_flip = jnp.repeat(flip, k)
+    lane_tri = top_tri.reshape(-1)
+    lane_ok = (jnp.repeat(lane_valid, k) & top_valid.reshape(-1))
+
+    mpos, mrot = w_pos[lane_cM], w_rot[lane_cM]
+    wv0 = quat.transform_point(mpos, mrot, tv0[lane_tri])
+    wv1 = quat.transform_point(mpos, mrot, tv1[lane_tri])
+    wv2 = quat.transform_point(mpos, mrot, tv2[lane_tri])
+    pA, rA = w_pos[lane_cA], w_rot[lane_cA]
+    stA = colliders.shape_type[lane_cA]
+    prmA = colliders.shape_params[lane_cA]
+
+    man_ball = jax.vmap(npm.ball_triangle)(pA, rA, prmA, wv0, wv1, wv2)
+    man_cap = jax.vmap(npm.capsule_triangle)(pA, rA, prmA, wv0, wv1, wv2)
+    man_cvx = jax.vmap(npm.convex_triangle)(pA, rA, stA, prmA, wv0, wv1, wv2)
+
+    is_ball = (stA == ShapeType.BALL)[:, None]
+    is_cap = (stA == ShapeType.CAPSULE)[:, None]
+
+    def sel(f_ball, f_cap, f_cvx, nd):
+        mask_b = is_ball.reshape(is_ball.shape[:1] + (1,) * (nd - 1))
+        mask_c = is_cap.reshape(is_cap.shape[:1] + (1,) * (nd - 1))
+        return jnp.where(mask_b, f_ball, jnp.where(mask_c, f_cap, f_cvx))
+
+    normal = sel(man_ball.normal, man_cap.normal, man_cvx.normal, 2)
+    point = sel(man_ball.point, man_cap.point, man_cvx.point, 3)
+    dist = sel(man_ball.dist, man_cap.dist, man_cvx.dist, 2)
+    fid = sel(man_ball.fid, man_cap.fid, man_cvx.fid, 2)
+    pvalid = sel(man_ball.valid, man_cap.valid, man_cvx.valid, 2)
+
+    # Kernel normal points convex -> triangle.  Restore collider1 -> collider2.
+    normal = jnp.where(lane_flip[:, None], -normal, normal)
+
+    skins = colliders.contact_skin[lane_cA] + colliders.contact_skin[lane_cM]
+    dist = dist - skins[:, None]
+    pvalid = pvalid & lane_ok[:, None]
+    point_active = pvalid & (dist < prediction)
+    touching = lane_ok & jnp.any(pvalid & (dist <= 0.0), axis=-1)
+
+    lo_c = jnp.where(lane_flip, lane_cM, lane_cA)
+    hi_c = jnp.where(lane_flip, lane_cA, lane_cM)
+    friction = _combine_material(
+        colliders.friction[lo_c], colliders.friction[hi_c],
+        colliders.friction_combine[lo_c], colliders.friction_combine[hi_c],
+    )
+    restitution = _combine_material(
+        colliders.restitution[lo_c], colliders.restitution[hi_c],
+        colliders.restitution_combine[lo_c], colliders.restitution_combine[hi_c],
+    )
+
+    b1 = jnp.where(lane_ok, colliders.parent[lo_c], -1)
+    b2 = jnp.where(lane_ok, colliders.parent[hi_c], -1)
+    bt1 = jnp.where(b1 >= 0, bodies.body_type[jnp.maximum(b1, 0)], int(BodyType.FIXED))
+    bt2 = jnp.where(b2 >= 0, bodies.body_type[jnp.maximum(b2, 0)], int(BodyType.FIXED))
+    dom1 = jnp.where(bt1 == BodyType.DYNAMIC, bodies.dominance[jnp.maximum(b1, 0)], 127)
+    dom2 = jnp.where(bt2 == BodyType.DYNAMIC, bodies.dominance[jnp.maximum(b2, 0)], 127)
+    rel_dom = jnp.where(b1 >= 0, dom1, 127) - jnp.where(b2 >= 0, dom2, 127)
+
+    sensor = colliders.sensor[lo_c] | colliders.sensor[hi_c]
+    sg1 = colliders.solver_groups[lo_c]
+    sg2 = colliders.solver_groups[hi_c]
+    gm1, gf1 = sg1 >> 16, sg1 & 0xFFFF
+    gm2, gf2 = sg2 >> 16, sg2 & 0xFFFF
+    solver_ok = ((gm1 & gf2) != 0) & ((gm2 & gf1) != 0)
+    solver_pair = lane_ok & ~sensor & solver_ok & jnp.any(point_active, axis=-1)
+
+    pair_key = jnp.where(
+        lane_ok,
+        lo_c * n_coll + hi_c + (lane_tri + 1) * n_coll * n_coll,
+        -1,
+    )
+
+    return ManifoldBatch(
+        collider1=jnp.where(lane_ok, lo_c, -1),
+        collider2=jnp.where(lane_ok, hi_c, -1),
+        body1=b1, body2=b2, pair_key=pair_key,
+        normal=normal, point=point, dist=dist, fid=fid,
+        point_valid=pvalid, point_active=point_active,
+        valid=lane_ok, unsupported=jnp.int32(0),
+        solver_pair=solver_pair, touching=touching,
+        friction=friction, restitution=restitution,
+        rel_dominance=rel_dom,
+    )
+
+
+def concat_manifolds(a: ManifoldBatch, b: ManifoldBatch) -> ManifoldBatch:
+    """Concatenate two manifold batches along the pair-lane axis."""
+    merged = jax.tree.map(
+        lambda x, y: jnp.concatenate([jnp.atleast_1d(x), jnp.atleast_1d(y)])
+        if x.ndim > 0 or y.ndim > 0 else x + y,
+        a._replace(unsupported=jnp.atleast_1d(a.unsupported)),
+        b._replace(unsupported=jnp.atleast_1d(b.unsupported)),
+    )
+    return merged._replace(unsupported=jnp.sum(merged.unsupported))

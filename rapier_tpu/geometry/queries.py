@@ -1,0 +1,431 @@
+"""Scene queries: batched ray casts, point projection, intersection tests.
+
+The TPU recast of the reference QueryPipeline
+(src/pipeline/query_pipeline.rs:44-780): instead of BVH traversal, every query
+evaluates all colliders in parallel (masked) and reduces — O(C) lanes of
+cheap VPU work, ideal under vmap over many rays (the batched-RL usage).
+
+Query filter flags mirror reference QueryFilterFlags (query_pipeline.rs:575).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rapier_tpu.math import quat
+from rapier_tpu.geometry.dispatch import collider_world_poses
+from rapier_tpu.types import BodyType, ShapeType
+
+# QueryFilterFlags
+EXCLUDE_FIXED = 1 << 0
+EXCLUDE_KINEMATIC = 1 << 1
+EXCLUDE_DYNAMIC = 1 << 2
+EXCLUDE_SENSORS = 1 << 3
+EXCLUDE_SOLIDS = 1 << 4
+
+_INF = 1e30
+
+
+class RayHit(NamedTuple):
+    hit: jax.Array       # bool
+    toi: jax.Array       # distance along the (unit or not) ray direction
+    collider: jax.Array  # int32 collider index (-1 when no hit)
+    point: jax.Array     # [3]
+    normal: jax.Array    # [3] outward surface normal at the hit
+
+
+class PointProjection(NamedTuple):
+    collider: jax.Array  # int32 (-1 if none)
+    point: jax.Array     # [3] closest point on the collider
+    distance: jax.Array  # signed (negative if inside and solid=True)
+    is_inside: jax.Array # bool
+
+
+def _filter_mask(colliders, body_type, flags: int, exclude_collider=-1,
+                 exclude_body=-1, groups: int = 0xFFFF_FFFF):
+    c = colliders
+    n = c.parent.shape[0]
+    ok = c.enabled
+    parent = c.parent
+    bt = jnp.where(parent >= 0, body_type[jnp.maximum(parent, 0)],
+                   int(BodyType.FIXED))
+    if flags & EXCLUDE_FIXED:
+        ok = ok & ~((bt == BodyType.FIXED) | (parent < 0))
+    if flags & EXCLUDE_KINEMATIC:
+        ok = ok & ~(
+            (bt == BodyType.KINEMATIC_POSITION_BASED)
+            | (bt == BodyType.KINEMATIC_VELOCITY_BASED)
+        )
+    if flags & EXCLUDE_DYNAMIC:
+        ok = ok & ~(bt == BodyType.DYNAMIC)
+    if flags & EXCLUDE_SENSORS:
+        ok = ok & ~c.sensor
+    ok = ok & (jnp.arange(n) != exclude_collider)
+    ok = ok & ~((parent == exclude_body) & (parent >= 0))
+    gm, gf = jnp.uint32(groups) >> 16, jnp.uint32(groups) & 0xFFFF
+    cm, cf = c.collision_groups >> 16, c.collision_groups & 0xFFFF
+    ok = ok & ((gm & cf) != 0) & ((cm & gf) != 0)
+    return ok
+
+
+# ---------------------------------------------------------------------------
+# per-shape ray kernels (local frame; ray already transformed)
+# ---------------------------------------------------------------------------
+
+
+def _ray_ball(o, d, r):
+    b = jnp.dot(o, d)
+    c = jnp.dot(o, o) - r * r
+    disc = b * b - jnp.dot(d, d) * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    dd = jnp.maximum(jnp.dot(d, d), 1e-12)
+    t0 = (-b - sq) / dd
+    t1 = (-b + sq) / dd
+    inside = c <= 0.0
+    t = jnp.where(inside, jnp.maximum(t1, 0.0), t0)
+    hit = (disc >= 0.0) & (t >= 0.0) & (inside | (t0 >= 0.0))
+    p = o + d * t
+    nrm = p / jnp.maximum(jnp.linalg.norm(p), 1e-12)
+    return hit, t, nrm
+
+
+def _ray_cuboid(o, d, h):
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    t1 = (-h - o) * inv
+    t2 = (h - o) * inv
+    tmin_ax = jnp.minimum(t1, t2)
+    tmax_ax = jnp.maximum(t1, t2)
+    # Parallel ray outside the slab never hits.
+    par_out = (jnp.abs(d) < 1e-12) & (jnp.abs(o) > h)
+    tmin = jnp.max(tmin_ax)
+    tmax = jnp.min(jnp.where(par_out, -_INF, tmax_ax))
+    inside = jnp.all(jnp.abs(o) <= h)
+    t = jnp.where(inside, jnp.maximum(tmax, 0.0), tmin)
+    hit = (tmax >= jnp.maximum(tmin, 0.0)) & ~jnp.any(par_out) & (t >= 0.0)
+    ax = jnp.argmax(tmin_ax)
+    p = o + d * t
+    n_out = jnp.zeros(3).at[ax].set(jnp.sign(p[ax]))
+    n_in = jnp.zeros(3).at[jnp.argmin(jnp.where(par_out, _INF, tmax_ax))].set(1.0)
+    nrm = jnp.where(inside, n_in * jnp.sign(p), n_out)
+    return hit, t, nrm
+
+
+def _ray_halfspace(o, d, n):
+    denom = jnp.dot(d, n)
+    dist = jnp.dot(o, n)
+    t = -dist / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    hit = (dist >= 0.0) & (denom < 0.0) & (t >= 0.0)
+    # Ray starting inside the halfspace hits immediately (solid semantics).
+    hit = hit | (dist < 0.0)
+    t = jnp.where(dist < 0.0, 0.0, t)
+    return hit, t, n
+
+
+def _ray_capsule(o, d, a, b, r):
+    """Ray vs capsule: sample-free analytic-ish via segment closest approach.
+    Cylinder part solved as quadratic in the frame of the axis; caps as
+    spheres."""
+    axis = b - a
+    len_sq = jnp.maximum(jnp.dot(axis, axis), 1e-12)
+    u = axis / jnp.sqrt(len_sq)
+    oo = o - a
+    # Project out axis component.
+    d_p = d - u * jnp.dot(d, u)
+    o_p = oo - u * jnp.dot(oo, u)
+    A = jnp.dot(d_p, d_p)
+    B = jnp.dot(o_p, d_p)
+    C = jnp.dot(o_p, o_p) - r * r
+    disc = B * B - A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    tc = (-B - sq) / jnp.maximum(A, 1e-12)
+    # Cylinder hit valid if within segment extent.
+    s = jnp.dot(oo + d * tc, u)
+    cyl_ok = (disc >= 0.0) & (A > 1e-12) & (tc >= 0.0) & (s >= 0.0) & (
+        s <= jnp.sqrt(len_sq)
+    )
+    p_cyl = o + d * tc
+    foot = a + u * s
+    n_cyl = (p_cyl - foot) / jnp.maximum(r, 1e-12)
+
+    ha, ta, na = _ray_ball(o - a, d, r)
+    hb, tb, nb = _ray_ball(o - b, d, r)
+    # Choose the smallest valid t.
+    ts = jnp.stack([
+        jnp.where(cyl_ok, tc, _INF),
+        jnp.where(ha, ta, _INF),
+        jnp.where(hb, tb, _INF),
+    ])
+    k = jnp.argmin(ts)
+    t = ts[k]
+    nrm = jnp.stack([n_cyl, na, nb])[k]
+    hit = t < _INF
+    # Start inside: t=0.
+    q, _ = _closest_point_segment(a, b, o)
+    inside = jnp.linalg.norm(o - q) <= r
+    t = jnp.where(inside, 0.0, t)
+    hit = hit | inside
+    return hit, t, nrm
+
+
+def _closest_point_segment(a, b, p):
+    ab = b - a
+    t = jnp.clip(jnp.dot(p - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-12), 0.0, 1.0)
+    return a + ab * t, t
+
+
+# ---------------------------------------------------------------------------
+# public queries
+# ---------------------------------------------------------------------------
+
+
+def cast_ray(bodies, colliders, origin, direction, max_toi=_INF,
+             flags: int = 0, exclude_collider: int = -1,
+             exclude_body: int = -1, groups: int = 0xFFFF_FFFF) -> RayHit:
+    """Closest-hit raycast against all colliders (QueryPipeline::cast_ray)."""
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    ok = _filter_mask(colliders, bodies.body_type, flags,
+                      exclude_collider, exclude_body, groups)
+
+    def per_collider(cp, cr, st, prm, valid):
+        o = quat.inv_rotate(cr, origin - cp)
+        d = quat.inv_rotate(cr, direction)
+        hit_b, t_b, n_b = _ray_ball(o, d, prm[0])
+        hit_c, t_c, n_c = _ray_cuboid(o, d, prm[0:3])
+        hit_h, t_h, n_h = _ray_halfspace(o, d, prm[0:3])
+        hit_k, t_k, n_k = _ray_capsule(o, d, prm[0:3], prm[3:6], prm[6])
+
+        is_ball = st == ShapeType.BALL
+        is_cub = (st == ShapeType.CUBOID) | (st == ShapeType.ROUND_CUBOID)
+        is_hs = st == ShapeType.HALFSPACE
+        is_cap = st == ShapeType.CAPSULE
+        hit = jnp.where(is_ball, hit_b,
+              jnp.where(is_cub, hit_c,
+              jnp.where(is_hs, hit_h,
+              jnp.where(is_cap, hit_k, False))))
+        t = jnp.where(is_ball, t_b,
+            jnp.where(is_cub, t_c,
+            jnp.where(is_hs, t_h,
+            jnp.where(is_cap, t_k, _INF))))
+        nrm = jnp.where(is_ball, n_b,
+              jnp.where(is_cub, n_c,
+              jnp.where(is_hs, n_h,
+              jnp.where(is_cap, n_k, jnp.zeros(3)))))
+        hit = hit & valid & (t <= max_toi) & (t >= 0.0)
+        return jnp.where(hit, t, _INF), quat.rotate(cr, nrm)
+
+    ts, normals = jax.vmap(per_collider)(
+        w_pos, w_rot, colliders.shape_type, colliders.shape_params, ok
+    )
+    k = jnp.argmin(ts)
+    t = ts[k]
+    hit = t < _INF
+    return RayHit(
+        hit=hit,
+        toi=jnp.where(hit, t, max_toi),
+        collider=jnp.where(hit, k, -1).astype(jnp.int32),
+        point=origin + direction * t,
+        normal=jnp.where(hit, normals[k], jnp.zeros(3)),
+    )
+
+
+def intersect_ray(bodies, colliders, origin, direction, max_toi=_INF,
+                  flags: int = 0, **kw):
+    """All-hits raycast: returns (hit [C], toi [C], normal [C,3]) per collider
+    (QueryPipeline::intersect_ray)."""
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    ok = _filter_mask(colliders, bodies.body_type, flags, **kw)
+
+    def per_collider(cp, cr, st, prm, valid):
+        o = quat.inv_rotate(cr, origin - cp)
+        d = quat.inv_rotate(cr, direction)
+        hit_b, t_b, n_b = _ray_ball(o, d, prm[0])
+        hit_c, t_c, n_c = _ray_cuboid(o, d, prm[0:3])
+        hit_h, t_h, n_h = _ray_halfspace(o, d, prm[0:3])
+        hit_k, t_k, n_k = _ray_capsule(o, d, prm[0:3], prm[3:6], prm[6])
+        is_ball = st == ShapeType.BALL
+        is_cub = (st == ShapeType.CUBOID) | (st == ShapeType.ROUND_CUBOID)
+        is_hs = st == ShapeType.HALFSPACE
+        is_cap = st == ShapeType.CAPSULE
+        hit = jnp.where(is_ball, hit_b,
+              jnp.where(is_cub, hit_c,
+              jnp.where(is_hs, hit_h,
+              jnp.where(is_cap, hit_k, False))))
+        t = jnp.where(is_ball, t_b,
+            jnp.where(is_cub, t_c,
+            jnp.where(is_hs, t_h,
+            jnp.where(is_cap, t_k, _INF))))
+        nrm = jnp.where(is_ball, n_b,
+              jnp.where(is_cub, n_c,
+              jnp.where(is_hs, n_h,
+              jnp.where(is_cap, n_k, jnp.zeros(3)))))
+        hit = hit & valid & (t <= max_toi) & (t >= 0.0)
+        return hit, jnp.where(hit, t, _INF), quat.rotate(cr, nrm)
+
+    return jax.vmap(per_collider)(
+        w_pos, w_rot, colliders.shape_type, colliders.shape_params, ok
+    )
+
+
+def project_point(bodies, colliders, point, solid: bool = True,
+                  flags: int = 0, **kw) -> PointProjection:
+    """Closest point on any collider (QueryPipeline::project_point)."""
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    ok = _filter_mask(colliders, bodies.body_type, flags, **kw)
+
+    def per_collider(cp, cr, st, prm, valid):
+        p = quat.inv_rotate(cr, point - cp)
+        # Ball.
+        dist_c = jnp.linalg.norm(p)
+        n = p / jnp.maximum(dist_c, 1e-12)
+        proj_ball = n * prm[0]
+        d_ball = dist_c - prm[0]
+        # Cuboid.
+        q = jnp.clip(p, -prm[0:3], prm[0:3])
+        out = p - q
+        d_out = jnp.linalg.norm(out)
+        face_d = prm[0:3] - jnp.abs(p)
+        ax = jnp.argmin(face_d)
+        inside_c = d_out < 1e-12
+        surf_in = p.at[ax].set(jnp.sign(p[ax] + 1e-30) * prm[0:3][ax])
+        proj_cub = jnp.where(inside_c, surf_in, q)
+        d_cub = jnp.where(inside_c, -face_d[ax], d_out)
+        # Capsule.
+        cq, _ = _closest_point_segment(prm[0:3], prm[3:6], p)
+        dd = p - cq
+        dn = jnp.linalg.norm(dd)
+        proj_cap = cq + dd / jnp.maximum(dn, 1e-12) * prm[6]
+        d_cap = dn - prm[6]
+        # Halfspace.
+        hs_n = prm[0:3]
+        d_hs = jnp.dot(p, hs_n)
+        proj_hs = p - hs_n * d_hs
+
+        is_ball = st == ShapeType.BALL
+        is_cub = st == ShapeType.CUBOID
+        is_cap = st == ShapeType.CAPSULE
+        is_hs = st == ShapeType.HALFSPACE
+        proj = jnp.where(is_ball, proj_ball,
+               jnp.where(is_cub, proj_cub,
+               jnp.where(is_cap, proj_cap,
+               jnp.where(is_hs, proj_hs, jnp.zeros(3)))))
+        d = jnp.where(is_ball, d_ball,
+            jnp.where(is_cub, d_cub,
+            jnp.where(is_cap, d_cap,
+            jnp.where(is_hs, d_hs, _INF))))
+        if solid:
+            # Inside a solid shape projects to the point itself, distance<=0.
+            proj = jnp.where(d < 0.0, p, proj)
+        d_rank = jnp.where(solid, jnp.maximum(d, 0.0), jnp.abs(d))
+        d_rank = jnp.where(valid, d_rank, _INF)
+        return quat.transform_point(cp, cr, proj), d, d_rank
+
+    projs, dists, ranks = jax.vmap(per_collider)(
+        w_pos, w_rot, colliders.shape_type, colliders.shape_params, ok
+    )
+    k = jnp.argmin(ranks)
+    found = ranks[k] < _INF
+    return PointProjection(
+        collider=jnp.where(found, k, -1).astype(jnp.int32),
+        point=projs[k],
+        distance=dists[k],
+        is_inside=dists[k] < 0.0,
+    )
+
+
+def intersections_with_point(bodies, colliders, point, flags: int = 0, **kw):
+    """Boolean mask of colliders containing the point
+    (QueryPipeline::intersect_point)."""
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    ok = _filter_mask(colliders, bodies.body_type, flags, **kw)
+
+    def per_collider(cp, cr, st, prm, valid):
+        p = quat.inv_rotate(cr, point - cp)
+        in_ball = jnp.linalg.norm(p) <= prm[0]
+        in_cub = jnp.all(jnp.abs(p) <= prm[0:3])
+        cq, _ = _closest_point_segment(prm[0:3], prm[3:6], p)
+        in_cap = jnp.linalg.norm(p - cq) <= prm[6]
+        in_hs = jnp.dot(p, prm[0:3]) <= 0.0
+        inside = jnp.where(st == ShapeType.BALL, in_ball,
+                 jnp.where(st == ShapeType.CUBOID, in_cub,
+                 jnp.where(st == ShapeType.CAPSULE, in_cap,
+                 jnp.where(st == ShapeType.HALFSPACE, in_hs, False))))
+        return inside & valid
+
+    return jax.vmap(per_collider)(
+        w_pos, w_rot, colliders.shape_type, colliders.shape_params, ok
+    )
+
+
+class ShapeCastHit(NamedTuple):
+    hit: jax.Array       # bool
+    toi: jax.Array       # fraction [0, max_toi] along `direction`
+    collider: jax.Array  # int32 (-1 when none)
+    normal: jax.Array    # [3] contact normal (from obstacle towards shape)
+
+
+def _shape_distance(st, prm, pos, rot, colliders, w_pos, w_rot, cidx):
+    """Signed distance from a moving convex shape to one collider (support
+    based, same machinery as the narrow phase)."""
+    from rapier_tpu.geometry.narrowphase_convex import convex_convex
+    from rapier_tpu.geometry.narrowphase import convex_halfspace
+
+    tB = colliders.shape_type[cidx]
+    prmB = colliders.shape_params[cidx]
+    man = convex_convex(pos, rot, st, prm, w_pos[cidx], w_rot[cidx], tB, prmB)
+    d_cc = jnp.min(jnp.where(man.valid, man.dist, _INF))
+    n_cc = man.normal
+    man_h = convex_halfspace(pos, rot, st, prm, w_pos[cidx], w_rot[cidx], prmB)
+    d_hs = jnp.min(jnp.where(man_h.valid, man_h.dist, _INF))
+    is_hs = tB == ShapeType.HALFSPACE
+    return jnp.where(is_hs, d_hs, d_cc), jnp.where(is_hs, man_h.normal, n_cc)
+
+
+def cast_shape(bodies, colliders, shape_type, shape_params, pos, rot,
+               direction, max_toi, flags: int = 0, exclude_collider: int = -1,
+               exclude_body: int = -1, groups: int = 0xFFFF_FFFF,
+               iters: int = 20) -> ShapeCastHit:
+    """Sweep a convex shape along `direction` (QueryPipeline::cast_shape):
+    per-collider bisection on the support-based distance function."""
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    ok = _filter_mask(colliders, bodies.body_type, flags,
+                      exclude_collider, exclude_body, groups)
+    c = colliders.parent.shape[0]
+    st = jnp.asarray(shape_type, jnp.int32)
+
+    def per_collider(cidx, valid):
+        def dist_at(t):
+            d, n = _shape_distance(
+                st, shape_params, pos + direction * t, rot,
+                colliders, w_pos, w_rot, cidx,
+            )
+            return d, n
+
+        d0, _ = dist_at(0.0)
+        d1, _ = dist_at(max_toi)
+        hit_possible = (d1 <= 0.0) & (d0 > 0.0)
+        start_touching = d0 <= 0.0
+
+        lo, hi = jnp.float32(0.0), jnp.asarray(max_toi, jnp.float32)
+        for _ in range(iters):
+            mid = 0.5 * (lo + hi)
+            dm, _ = dist_at(mid)
+            lo = jnp.where(dm > 0.0, mid, lo)
+            hi = jnp.where(dm > 0.0, hi, mid)
+        toi = jnp.where(start_touching, 0.0, lo)
+        _, n = dist_at(toi)
+        hit = valid & (hit_possible | start_touching)
+        return jnp.where(hit, toi, _INF), -n  # normal towards the shape
+
+    tois, normals = jax.vmap(per_collider)(jnp.arange(c), ok)
+    k = jnp.argmin(tois)
+    t = tois[k]
+    hit = t < _INF
+    return ShapeCastHit(
+        hit=hit,
+        toi=jnp.where(hit, t, jnp.asarray(max_toi, jnp.float32)),
+        collider=jnp.where(hit, k, -1).astype(jnp.int32),
+        normal=jnp.where(hit, normals[k], jnp.zeros(3)),
+    )

@@ -1,0 +1,124 @@
+"""Quaternion and rigid-transform math on (..., 4) / (..., 3) arrays.
+
+Quaternions are stored as ``(x, y, z, w)`` (vector part first, scalar last),
+matching the reference engine's convention (rapier `Rotation::from_xyzw`,
+src/dynamics/rigid_body_components.rs:805-819).  All functions broadcast over
+leading axes so they work unchanged under ``vmap``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# -- constructors ----------------------------------------------------------
+
+
+def identity(shape=()) -> jnp.ndarray:
+    """Identity quaternion(s) with the given leading shape."""
+    q = jnp.zeros(shape + (4,))
+    return q.at[..., 3].set(1.0)
+
+
+def from_axis_angle(axis: jnp.ndarray, angle) -> jnp.ndarray:
+    """Unit quaternion rotating by `angle` radians around unit `axis`."""
+    angle = jnp.asarray(angle)
+    half = angle * 0.5
+    s = jnp.sin(half)
+    return jnp.concatenate(
+        [axis * s[..., None], jnp.cos(half)[..., None]], axis=-1
+    )
+
+
+def from_scaled_axis(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Exponential map: rotation vector (axis * angle) -> quaternion."""
+    angle = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    safe = jnp.maximum(angle, eps)
+    axis = v / safe
+    half = angle * 0.5
+    s = jnp.where(angle > eps, jnp.sin(half), 0.0)
+    w = jnp.cos(half)
+    return jnp.concatenate([axis * s, w], axis=-1)
+
+
+# -- algebra ---------------------------------------------------------------
+
+
+def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product a ⊗ b."""
+    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ],
+        axis=-1,
+    )
+
+
+def conj(q: jnp.ndarray) -> jnp.ndarray:
+    return q * jnp.asarray([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
+
+
+def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(n, eps)
+
+
+def rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vector(s) v by quaternion(s) q (q v q*), vectorized form."""
+    u = q[..., :3]
+    w = q[..., 3:4]
+    t = 2.0 * jnp.cross(u, v)
+    return v + w * t + jnp.cross(u, t)
+
+
+def inv_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    return rotate(conj(q), v)
+
+
+def to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion -> 3x3 rotation matrix, shape (..., 3, 3)."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    m = jnp.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def integrate_linearized(q: jnp.ndarray, angvel: jnp.ndarray, dt) -> jnp.ndarray:
+    """Linearized rotation update used inside the TGS solver.
+
+    Matches the reference's `RigidBodyVelocity::integrate_linearized`
+    (src/dynamics/rigid_body_components.rs:805-819): q' = normalize((h, 1) ⊗ q)
+    with h = ω·dt/2 treated as the vector part of a quaternion.
+    """
+    h = angvel * (jnp.asarray(dt) * 0.5)
+    dq = jnp.concatenate([h, jnp.ones_like(h[..., :1])], axis=-1)
+    return normalize(mul(dq, q))
+
+
+# -- poses (pos: (...,3), rot: (...,4)) -------------------------------------
+
+
+def transform_point(pos: jnp.ndarray, rot: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    return pos + rotate(rot, p)
+
+
+def inverse_transform_point(pos, rot, p):
+    return inv_rotate(rot, p - pos)
+
+
+def compose(pos1, rot1, pos2, rot2):
+    """Compose two poses: result = pose1 * pose2."""
+    return pos1 + rotate(rot1, pos2), mul(rot1, rot2)

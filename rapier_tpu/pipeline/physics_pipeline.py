@@ -1,0 +1,425 @@
+"""PhysicsPipeline::step as one jittable function `step(state, params)`.
+
+Mirrors the reference hot path (src/pipeline/physics_pipeline.rs:490, call
+stack in SURVEY §3.1): kinematic velocity interpolation, collision detection
+(broad SAP/all-pairs + narrow analytic kernels), warmstart matching against
+the persistent contact cache, wake-up on contact start, the TGS-soft batched
+solve, writeback, advance-to-final-positions, and island-free sleeping.
+
+`step` is pure: vmap over a leading scene axis batches thousands of scenes;
+shard_map over a device mesh scales across chips (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rapier_tpu.math import quat
+from rapier_tpu.geometry import broadphase, shapes
+from rapier_tpu.geometry.dispatch import (
+    ManifoldBatch,
+    collider_world_poses,
+    compute_manifolds,
+    compute_mesh_manifolds,
+    concat_manifolds,
+)
+from rapier_tpu.dynamics.solver import contact_constraints as cc
+from rapier_tpu.dynamics.solver import velocity_solver as vs
+from rapier_tpu.dynamics.solver.coloring import color_constraints
+from rapier_tpu.types import BodyType, Contacts, SceneState, SimParams
+
+
+class StepEvents(NamedTuple):
+    """Collision events as dense per-pair arrays (the TPU recast of the
+    reference EventHandler callbacks, src/pipeline/event_handler.rs:94)."""
+
+    started_pairs: jax.Array   # [P] bool — contact started this step
+    stopped_keys: jax.Array    # [P] int32 — pair keys that stopped touching
+    stopped: jax.Array         # [P] bool
+    force_events: jax.Array    # [P] bool — contact force above threshold
+    force_magnitude: jax.Array # [P]
+    broadphase_overflow: jax.Array  # scalar int32 diagnostic
+    unsupported_pairs: jax.Array    # scalar int32 — pairs with no NP kernel
+
+
+def _match_previous(prev: Contacts, man: ManifoldBatch):
+    """Sorted join of new pairs against the previous step's pair cache.
+
+    Returns per-(pair, point): matched warmstart impulses and previous total
+    impulses (for is_bouncy), plus per-pair previous `touching` (for events).
+    The analog of parry's TrackedContact feature-id matching + the reference's
+    warmstart round-trip (contact_pair.rs:34-51).
+    """
+    p = man.pair_key.shape[0]
+    old_keys = jnp.where(prev.pair_key >= 0, prev.pair_key, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(old_keys)
+    sorted_keys = old_keys[order]
+
+    new_keys = jnp.where(man.valid, man.pair_key, -1)
+    pos = jnp.searchsorted(sorted_keys, new_keys)
+    cand = jnp.clip(pos, 0, p - 1)
+    old_idx = order[cand]
+    matched = man.valid & (sorted_keys[cand] == new_keys)
+
+    # Per-point feature-id matching (4 new x 4 old).
+    old_fid = prev.feature_id[old_idx]        # [P, 4]
+    old_pact = prev.point_active[old_idx]
+    fmatch = (man.fid[:, :, None] == old_fid[:, None, :]) & old_pact[:, None, :]
+    fmatch = fmatch & matched[:, None, None] & (man.fid[:, :, None] >= 0)
+    # At most one old point per new point: pick the first match.
+    pick = jnp.argmax(fmatch, axis=-1)                       # [P, 4]
+    has = jnp.any(fmatch, axis=-1)                           # [P, 4]
+
+    def take(arr):
+        return jnp.where(has, jnp.take_along_axis(arr[old_idx], pick, axis=1), 0.0)
+
+    ws_normal = take(prev.warmstart_impulse)
+    prev_impulse = take(prev.impulse)
+    ws_tan = jnp.where(
+        has[..., None],
+        jnp.take_along_axis(
+            prev.warmstart_tangent_impulse[old_idx], pick[..., None], axis=1
+        ),
+        0.0,
+    )
+    ws_twist = jnp.where(matched, prev.warmstart_twist_impulse[old_idx], 0.0)
+    prev_touching = matched & prev.touching[old_idx]
+    return ws_normal, ws_tan, ws_twist, prev_impulse, prev_touching, matched
+
+
+def step(state: SceneState, params: SimParams, hooks=None):
+    """Advance the scene by params.dt.  Returns (new_state, StepEvents).
+
+    `hooks` is an optional pipeline.hooks.PhysicsHooks (static: closed over at
+    jit time, e.g. via functools.partial)."""
+    bodies = state.bodies
+    colliders = state.colliders
+    n = bodies.n
+
+    # ------------------------------------------------------------------
+    # 1. Kinematic velocity interpolation (physics_pipeline.rs:412-438).
+    # ------------------------------------------------------------------
+    kin_pos = bodies.body_type == BodyType.KINEMATIC_POSITION_BASED
+    inv_dt = params.inv_dt()
+    com_now = bodies.pos + quat.rotate(bodies.rot, bodies.local_com)
+    com_next = bodies.next_pos + quat.rotate(bodies.next_rot, bodies.local_com)
+    kin_linvel = (com_next - com_now) * inv_dt
+    dq = quat.mul(bodies.next_rot, quat.conj(bodies.rot))
+    # angvel = 2 * vec(dq) / dt for small rotations (sign fix for w < 0).
+    dq = jnp.where(dq[:, 3:4] < 0, -dq, dq)
+    angle = 2.0 * jnp.arctan2(
+        jnp.linalg.norm(dq[:, :3], axis=-1), dq[:, 3]
+    )
+    axis = dq[:, :3] / jnp.maximum(jnp.linalg.norm(dq[:, :3], axis=-1, keepdims=True), 1e-12)
+    kin_angvel = axis * (angle * inv_dt)[:, None]
+    bodies = bodies.replace(
+        linvel=jnp.where(kin_pos[:, None], kin_linvel, bodies.linvel),
+        angvel=jnp.where(kin_pos[:, None], kin_angvel, bodies.angvel),
+    )
+
+    # ------------------------------------------------------------------
+    # 2. Broad phase.
+    # ------------------------------------------------------------------
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    mins, maxs = shapes.compute_aabbs(
+        colliders.shape_type, colliders.shape_params, w_pos, w_rot
+    )
+    margin = (
+        colliders.contact_skin[:, None]
+        + 0.5 * params.prediction_distance()
+        + 0.01 * params.length_unit
+    )
+    mins = mins - margin
+    maxs = maxs + margin
+    max_pairs = state.contacts.max_pairs
+    has_meshes = state.meshes is not None
+    mesh_lanes = params.max_mesh_pairs * params.tris_per_pair if has_meshes else 0
+    convex_pairs = max_pairs - mesh_lanes
+    assert convex_pairs > 0, "max_pairs too small for the mesh-lane reservation"
+    c1, c2, pair_valid, bp_overflow = broadphase.find_pairs(
+        mins, maxs, colliders, bodies.body_type, convex_pairs,
+        params.broad_phase, params.sap_window,
+    )
+
+    # ------------------------------------------------------------------
+    # 3. Narrow phase (convex pairs + mesh sub-lanes).
+    # ------------------------------------------------------------------
+    man = compute_manifolds(
+        bodies, colliders, c1, c2, pair_valid, params.prediction_distance()
+    )
+    if has_meshes:
+        man_mesh = compute_mesh_manifolds(
+            bodies, colliders, state.meshes, c1, c2, pair_valid,
+            params.prediction_distance(), params.max_mesh_pairs,
+            params.tris_per_pair,
+        )
+        man = concat_manifolds(man, man_mesh)
+
+    # User hooks, gated by per-collider ActiveHooks flags (reference
+    # physics_hooks.rs:142-200; flag union of the two colliders).
+    if hooks is not None:
+        from rapier_tpu.types import (
+            ACTIVE_HOOKS_FILTER_CONTACT_PAIR,
+            ACTIVE_HOOKS_MODIFY_SOLVER_CONTACTS,
+        )
+
+        hflags = (
+            colliders.active_hooks[jnp.maximum(man.collider1, 0)]
+            | colliders.active_hooks[jnp.maximum(man.collider2, 0)]
+        )
+        if hooks.filter_contact_pair is not None:
+            gate = (hflags & ACTIVE_HOOKS_FILTER_CONTACT_PAIR) != 0
+            keep = hooks.filter_contact_pair(bodies, colliders, man)
+            man = man._replace(
+                solver_pair=man.solver_pair & (keep | ~gate),
+                touching=man.touching & (keep | ~gate),
+            )
+        if hooks.modify_solver_contacts is not None:
+            gate = (hflags & ACTIVE_HOOKS_MODIFY_SOLVER_CONTACTS) != 0
+            mod = hooks.modify_solver_contacts(bodies, colliders, man)
+            man = jax.tree.map(
+                lambda new, old: jnp.where(
+                    gate.reshape(gate.shape + (1,) * (old.ndim - 1))
+                    if old.ndim >= 1 and old.shape[:1] == gate.shape else False,
+                    new, old,
+                ),
+                mod, man,
+            )
+
+    # ------------------------------------------------------------------
+    # 4. Warmstart matching + events bookkeeping.
+    # ------------------------------------------------------------------
+    (ws_n, ws_t, ws_tw, prev_imp, prev_touch, _matched) = _match_previous(
+        state.contacts, man
+    )
+    started = man.touching & ~prev_touch
+
+    # Joint-attached pairs with contacts disabled are filtered out
+    # (reference narrow_phase.rs:853-874 joint filter).
+    joints = state.joints
+    if joints is not None:
+        jb1 = jnp.minimum(joints.body1, joints.body2)
+        jb2 = jnp.maximum(joints.body1, joints.body2)
+        no_contact = joints.enabled & ~joints.contacts_enabled & (jb1 >= 0)
+        jkey = jnp.where(no_contact, jb1 * n + jb2, jnp.iinfo(jnp.int32).max)
+        jkey_sorted = jnp.sort(jkey)
+        mb1 = jnp.minimum(man.body1, man.body2)
+        mb2 = jnp.maximum(man.body1, man.body2)
+        mkey = jnp.where((mb1 >= 0), mb1 * n + mb2, -1)
+        jpos = jnp.clip(jnp.searchsorted(jkey_sorted, mkey), 0, joints.n - 1)
+        joint_blocked = jkey_sorted[jpos] == mkey
+        man = man._replace(solver_pair=man.solver_pair & ~joint_blocked)
+
+    # Stopped events: previous touching pairs absent or no longer touching.
+    prev_c = state.contacts
+    new_keys_sorted = jnp.sort(jnp.where(man.touching, man.pair_key,
+                                         jnp.iinfo(jnp.int32).max))
+    pos2 = jnp.searchsorted(new_keys_sorted, prev_c.pair_key)
+    cand2 = jnp.clip(pos2, 0, max_pairs - 1)
+    still = new_keys_sorted[cand2] == prev_c.pair_key
+    stopped = prev_c.touching & ~still & (prev_c.pair_key >= 0)
+
+    # ------------------------------------------------------------------
+    # 5. Wake-up on contact start + awake propagation (island semantics,
+    #    reference island_manager: interaction_started wakes both islands).
+    # ------------------------------------------------------------------
+    dyn = bodies.body_type == BodyType.DYNAMIC
+
+    # Interaction graph edges: touching contact pairs + enabled joints
+    # (both drive island-style wake/sleep propagation).
+    eb1 = man.body1
+    eb2 = man.body2
+    emask = man.touching & (eb1 >= 0) & (eb2 >= 0)
+    joints = state.joints if joints is None else joints
+    if joints is not None:
+        eb1 = jnp.concatenate([eb1, joints.body1])
+        eb2 = jnp.concatenate([eb2, joints.body2])
+        jmask = joints.enabled & (joints.body1 >= 0) & (joints.body2 >= 0)
+        emask = jnp.concatenate([emask, jmask])
+    edge_dd = emask & dyn[jnp.maximum(eb1, 0)] & dyn[jnp.maximum(eb2, 0)]
+
+    sleeping = bodies.sleeping & dyn
+    if params.sleeping_enabled:
+        sent = n
+        sb1 = jnp.where(started & (man.body1 >= 0), man.body1, sent)
+        sb2 = jnp.where(started & (man.body2 >= 0), man.body2, sent)
+        woke = jnp.zeros((n + 1,), bool).at[sb1].set(True).at[sb2].set(True)[:n]
+        awake = (dyn & ~sleeping) | (woke & dyn)
+        # Spread wakefulness across dynamic-dynamic edges.
+        awake_p = awake
+        t1 = jnp.where(edge_dd, eb1, sent)
+        t2 = jnp.where(edge_dd, eb2, sent)
+        for _ in range(params.sleep_propagation_iters):
+            nb = jnp.zeros((n + 1,), bool)
+            nb = nb.at[t1].max(awake_p[jnp.minimum(t2, n - 1)])
+            nb = nb.at[t2].max(awake_p[jnp.minimum(t1, n - 1)])
+            awake_p = awake_p | (nb[:n] & dyn)
+        sleeping = dyn & ~awake_p
+    bodies = bodies.replace(sleeping=sleeping)
+
+    # ------------------------------------------------------------------
+    # 6. Solve.
+    # ------------------------------------------------------------------
+    active = bodies.enabled & ~sleeping
+    sb = vs.make_solver_bodies(bodies, active, params)
+
+    # Pairs where one side is sleeping never reach the solver (both sleep
+    # together or the awake side woke them above).
+    asleep1 = (man.body1 >= 0) & sleeping[jnp.maximum(man.body1, 0)]
+    asleep2 = (man.body2 >= 0) & sleeping[jnp.maximum(man.body2, 0)]
+    solver_pair = man.solver_pair & ~asleep1 & ~asleep2
+    man = man._replace(solver_pair=solver_pair)
+
+    dyn1 = (man.body1 >= 0) & dyn[jnp.maximum(man.body1, 0)] & ~asleep1
+    dyn2 = (man.body2 >= 0) & dyn[jnp.maximum(man.body2, 0)] & ~asleep2
+    color, num_colors = color_constraints(
+        man.body1, man.body2, dyn1, dyn2, solver_pair, n, params.max_colors
+    )
+
+    constraints = cc.generate(man, sb, prev_imp, color, n)
+    constraints = constraints._replace(
+        impulse=ws_n * constraints.point_mask,
+        tan_impulse=_manifold_tan_ws(ws_t, constraints.point_mask),
+        twist_impulse=ws_tw,
+    )
+
+    if joints is not None:
+        jdyn1 = (joints.body1 >= 0) & dyn[jnp.maximum(joints.body1, 0)]
+        jdyn2 = (joints.body2 >= 0) & dyn[jnp.maximum(joints.body2, 0)]
+        jvalid = joints.enabled & (joints.body1 >= 0)
+        joint_color, num_joint_colors = color_constraints(
+            joints.body1, joints.body2, jdyn1, jdyn2, jvalid, n, params.max_colors
+        )
+    else:
+        joint_color, num_joint_colors = None, None
+
+    sb, constraints, joint_rows = vs.solve(
+        bodies, sb, constraints, num_colors, active, params,
+        joints=joints, joint_color=joint_color,
+        num_joint_colors=num_joint_colors,
+    )
+    if joints is not None and joint_rows is not None:
+        joints = joints.replace(impulses=joint_rows.impulse)
+    bodies = vs.writeback(bodies, sb, active, params)
+
+    # ------------------------------------------------------------------
+    # 7. CCD motion clamping + advance to final positions
+    #    (physics_pipeline.rs:611-678, :396-410).
+    # ------------------------------------------------------------------
+    if params.enable_ccd:
+        from rapier_tpu.dynamics.ccd import clamp_motions
+
+        bodies = clamp_motions(bodies, colliders, params)
+    bodies = bodies.replace(pos=bodies.next_pos, rot=quat.normalize(bodies.next_rot))
+
+    # ------------------------------------------------------------------
+    # 8. Sleeping update (post-solve velocities; island-free propagation).
+    # ------------------------------------------------------------------
+    if params.sleeping_enabled:
+        lin_sq = jnp.sum(bodies.linvel**2, axis=-1)
+        ang_sq = jnp.sum(bodies.angvel**2, axis=-1)
+        lin_th = params.sleep_linear_threshold * params.length_unit
+        quiet = (lin_sq < lin_th * lin_th) & (
+            ang_sq < params.sleep_angular_threshold**2
+        )
+        timer = jnp.where(quiet, bodies.sleep_timer + params.dt, 0.0)
+        eligible = dyn & bodies.can_sleep & bodies.enabled & (
+            timer >= params.time_until_sleep
+        )
+        # A body sleeps only if its whole touching component is eligible:
+        # K-iteration min-propagation approximates island extraction
+        # (divergence documented: components wider than K hops sleep later).
+        elig_ext = eligible | ~dyn  # non-dynamic neighbors don't block sleep
+        sent = n
+        t1 = jnp.where(edge_dd, eb1, sent)
+        t2 = jnp.where(edge_dd, eb2, sent)
+        for _ in range(params.sleep_propagation_iters):
+            nb = jnp.ones((n + 1,), bool)
+            nb = nb.at[t1].min(elig_ext[jnp.minimum(t2, n - 1)])
+            nb = nb.at[t2].min(elig_ext[jnp.minimum(t1, n - 1)])
+            elig_ext = elig_ext & nb[:n]
+        new_sleeping = dyn & eligible & elig_ext
+        bodies = bodies.replace(
+            sleeping=new_sleeping,
+            sleep_timer=timer,
+            linvel=jnp.where(new_sleeping[:, None], 0.0, bodies.linvel),
+            angvel=jnp.where(new_sleeping[:, None], 0.0, bodies.angvel),
+        )
+
+    # ------------------------------------------------------------------
+    # 9. Persist contact cache (warmstart round-trip, SURVEY §5.4).
+    # ------------------------------------------------------------------
+    total_normal = constraints.impulse_acc + constraints.impulse
+    total_tan = constraints.tan_impulse_acc + constraints.tan_impulse
+    contacts = Contacts(
+        pair_key=jnp.where(man.valid, man.pair_key, -1),
+        body1=man.body1, body2=man.body2,
+        collider1=man.collider1, collider2=man.collider2,
+        normal=man.normal, point=man.point, dist=man.dist,
+        feature_id=man.fid, point_active=man.point_active,
+        num_points=jnp.sum(man.point_active.astype(jnp.int32), axis=-1),
+        active=man.valid, touching=man.touching,
+        warmstart_impulse=constraints.impulse,
+        warmstart_tangent_impulse=jnp.broadcast_to(
+            constraints.tan_impulse[:, None, :], (max_pairs, 4, 2)
+        ),
+        warmstart_twist_impulse=constraints.twist_impulse,
+        impulse=total_normal * constraints.point_mask,
+        tangent_impulse=jnp.broadcast_to(
+            total_tan[:, None, :], (max_pairs, 4, 2)
+        ),
+        friction=man.friction, restitution=man.restitution,
+    )
+
+    # Contact force events (physics_pipeline.rs:338-363): total manifold
+    # normal force vs per-collider threshold.
+    force_mag = jnp.sum(total_normal * constraints.point_mask, axis=-1) * inv_dt
+    thr = jnp.minimum(
+        colliders.contact_force_event_threshold[jnp.maximum(man.collider1, 0)],
+        colliders.contact_force_event_threshold[jnp.maximum(man.collider2, 0)],
+    )
+    # Event gating by ActiveEvents flags (reference event_handler.rs:33:
+    # only flagged colliders emit; wake-up above is NOT gated).
+    from rapier_tpu.types import ACTIVE_EVENTS_COLLISION, ACTIVE_EVENTS_CONTACT_FORCE
+
+    eflags = (
+        colliders.active_events[jnp.maximum(man.collider1, 0)]
+        | colliders.active_events[jnp.maximum(man.collider2, 0)]
+    )
+    collision_gate = (eflags & ACTIVE_EVENTS_COLLISION) != 0
+    force_gate = (eflags & ACTIVE_EVENTS_CONTACT_FORCE) != 0
+    prev_eflags = (
+        colliders.active_events[jnp.maximum(prev_c.collider1, 0)]
+        | colliders.active_events[jnp.maximum(prev_c.collider2, 0)]
+    )
+    force_events = man.touching & (force_mag > thr) & force_gate
+
+    new_state = SceneState(
+        bodies=bodies,
+        colliders=colliders,
+        contacts=contacts,
+        joints=joints,
+        meshes=state.meshes,
+        step_count=state.step_count + 1,
+    )
+    events = StepEvents(
+        started_pairs=started & collision_gate,
+        stopped_keys=prev_c.pair_key,
+        stopped=stopped & ((prev_eflags & ACTIVE_EVENTS_COLLISION) != 0),
+        force_events=force_events,
+        force_magnitude=force_mag,
+        broadphase_overflow=bp_overflow,
+        unsupported_pairs=man.unsupported,
+    )
+    return new_state, events
+
+
+def _manifold_tan_ws(ws_t, point_mask):
+    """Average matched per-point tangent warmstarts into the manifold-level
+    tangent impulse (twist friction model stores one pair per manifold;
+    reference accumulates warmstart_tangent_impulse/num_points)."""
+    npts = jnp.maximum(jnp.sum(point_mask.astype(jnp.float32), axis=-1), 1.0)
+    return jnp.sum(ws_t * point_mask[..., None], axis=1) / npts[:, None]

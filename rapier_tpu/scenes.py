@@ -1,0 +1,94 @@
+"""Canonical benchmark / acceptance scenes (SURVEY Appendix A).
+
+Scene builders mirror the reference examples (examples3d/primitives3.rs,
+examples2d/s2d_pyramid.rs, stress_tests/) as data so tests and benches can
+reproduce them without the Rust testbed.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from rapier_tpu.world import ColliderBuilder, PhysicsWorld, RigidBodyBuilder
+
+
+def mixed_primitives_world(num_layers: int = 4, grid: int = 4, rad: float = 0.5,
+                           **world_kw) -> PhysicsWorld:
+    """primitives3-flavored scene (examples3d/primitives3.rs:13-60) restricted
+    to the analytically-supported pair set: balls, capsules, cuboids dropped
+    onto a fixed ground cuboid."""
+    w = PhysicsWorld(**world_kw)
+    ground = w.insert_body(RigidBodyBuilder.fixed().with_translation((0.0, -2.1, 0.0)))
+    w.insert_collider(ColliderBuilder.cuboid(100.1, 2.1, 100.1), ground)
+
+    shift = rad * 2.5
+    center = shift * (grid - 1) / 2.0
+    for j in range(num_layers):
+        y = j * shift * 2.0 + rad + 2.0
+        for i in range(grid):
+            for k in range(grid):
+                x = i * shift - center + 0.02 * j
+                z = k * shift - center + 0.02 * j
+                b = w.insert_body(
+                    RigidBodyBuilder.dynamic().with_translation((x, y, z))
+                )
+                kind = j % 3
+                if kind == 0:
+                    cb = ColliderBuilder.ball(rad)
+                elif kind == 1:
+                    cb = ColliderBuilder.cuboid(rad, rad, rad)
+                else:
+                    cb = ColliderBuilder.capsule_y(rad * 0.5, rad * 0.5)
+                w.insert_collider(cb, b)
+    return w
+
+
+def pyramid_world(base_count: int = 10, half: float = 0.5, friction: float = 0.6,
+                  **world_kw) -> PhysicsWorld:
+    """s2d_pyramid (examples2d/s2d_pyramid.rs:13-38) lifted to 3D: a planar
+    triangular pyramid of cuboids on a ground cuboid."""
+    w = PhysicsWorld(**world_kw)
+    ground = w.insert_body(RigidBodyBuilder.fixed().with_translation((0.0, -1.0, 0.0)))
+    w.insert_collider(
+        ColliderBuilder.cuboid(100.0, 1.0, 100.0).with_friction(friction), ground
+    )
+    gap = half * 2.0 * 1.002
+    for row in range(base_count):
+        n_in_row = base_count - row
+        y = half + row * half * 2.0
+        x0 = -(n_in_row - 1) * gap / 2.0
+        for i in range(n_in_row):
+            b = w.insert_body(
+                RigidBodyBuilder.dynamic().with_translation((x0 + i * gap, y, 0.0))
+            )
+            w.insert_collider(
+                ColliderBuilder.cuboid(half, half, half).with_friction(friction), b
+            )
+    return w
+
+
+def stack_world(n: int = 10, half: float = 0.5, friction: float = 0.7,
+                **world_kw) -> PhysicsWorld:
+    w = PhysicsWorld(**world_kw)
+    ground = w.insert_body(RigidBodyBuilder.fixed().with_translation((0.0, -1.0, 0.0)))
+    w.insert_collider(
+        ColliderBuilder.cuboid(50.0, 1.0, 50.0).with_friction(friction), ground
+    )
+    for i in range(n):
+        b = w.insert_body(
+            RigidBodyBuilder.dynamic().with_translation((0.0, half + i * half * 2.002, 0.0))
+        )
+        w.insert_collider(
+            ColliderBuilder.cuboid(half, half, half).with_friction(friction), b
+        )
+    return w
+
+
+def replicate_scene(state, batch: int):
+    """Broadcast one SceneState into a batch of identical scenes (leading
+    scene axis) for vmapped stepping."""
+    return jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x)[None], (batch,) + np.asarray(x).shape).copy(),
+        state,
+    )

@@ -1,0 +1,768 @@
+"""Host-side scene construction + convenience stepping facade.
+
+API-parity layer mirroring the reference builders (RigidBodyBuilder
+src/dynamics/rigid_body.rs:1545-1953, ColliderBuilder
+src/geometry/collider.rs:643-1397) and the `PhysicsWorld` facade
+(src/pipeline/physics_world.rs:58-790).  Building is plain NumPy on the host;
+`build()` freezes everything into a `SceneState` pytree and `step()` runs the
+jitted pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rapier_tpu.geometry import mass_properties as mp
+from rapier_tpu.pipeline.physics_pipeline import step as _step_fn
+from rapier_tpu.types import (
+    BodyType,
+    CoefficientCombineRule,
+    SceneState,
+    ShapeType,
+    SimParams,
+    empty_bodies,
+    empty_colliders,
+    empty_contacts,
+)
+
+_IDQ = (0.0, 0.0, 0.0, 1.0)
+
+
+def _as_quat(rotation) -> np.ndarray:
+    """Accept a quaternion (4,) or a scaled-axis rotation vector (3,)."""
+    r = np.asarray(rotation, dtype=np.float64)
+    if r.shape == (4,):
+        return r / np.linalg.norm(r)
+    if r.shape == (3,):
+        angle = np.linalg.norm(r)
+        if angle < 1e-12:
+            return np.array(_IDQ)
+        axis = r / angle
+        s = math.sin(angle / 2)
+        return np.array([axis[0] * s, axis[1] * s, axis[2] * s, math.cos(angle / 2)])
+    raise ValueError(f"rotation must be quat (4,) or scaled axis (3,), got {r.shape}")
+
+
+@dataclass
+class RigidBodyBuilder:
+    body_type: BodyType = BodyType.DYNAMIC
+    translation: tuple = (0.0, 0.0, 0.0)
+    rotation: tuple = _IDQ
+    linvel: tuple = (0.0, 0.0, 0.0)
+    angvel: tuple = (0.0, 0.0, 0.0)
+    gravity_scale: float = 1.0
+    linear_damping: float = 0.0
+    angular_damping: float = 0.0
+    can_sleep: bool = True
+    sleeping: bool = False
+    ccd_enabled: bool = False
+    soft_ccd_prediction: float = 0.0
+    locked_axes: int = 0
+    dominance_group: int = 0
+    gyroscopic_forces_enabled: bool = False
+    additional_mass: float = 0.0
+    enabled: bool = True
+    user_data: int = 0
+
+    # --- constructors matching the reference ---
+    @staticmethod
+    def dynamic() -> "RigidBodyBuilder":
+        return RigidBodyBuilder(BodyType.DYNAMIC)
+
+    @staticmethod
+    def fixed() -> "RigidBodyBuilder":
+        return RigidBodyBuilder(BodyType.FIXED)
+
+    @staticmethod
+    def kinematic_position_based() -> "RigidBodyBuilder":
+        return RigidBodyBuilder(BodyType.KINEMATIC_POSITION_BASED)
+
+    @staticmethod
+    def kinematic_velocity_based() -> "RigidBodyBuilder":
+        return RigidBodyBuilder(BodyType.KINEMATIC_VELOCITY_BASED)
+
+    # --- chainable setters (subset mirrors reference names) ---
+    def _set(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+        return self
+
+    def with_translation(self, xyz):
+        return self._set(translation=tuple(xyz))
+
+    def with_rotation(self, rot):
+        return self._set(rotation=tuple(np.asarray(_as_quat(rot))))
+
+    def with_linvel(self, v):
+        return self._set(linvel=tuple(v))
+
+    def with_angvel(self, v):
+        return self._set(angvel=tuple(v))
+
+    def lock_rotations(self):
+        return self._set(locked_axes=self.locked_axes | (0b111 << 3))
+
+    def lock_translations(self):
+        return self._set(locked_axes=self.locked_axes | 0b111)
+
+
+@dataclass
+class ColliderBuilder:
+    shape_type: ShapeType = ShapeType.BALL
+    shape_params: tuple = (1.0,)
+    translation: tuple = (0.0, 0.0, 0.0)
+    rotation: tuple = _IDQ
+    friction: float = 0.5
+    restitution: float = 0.0
+    friction_combine_rule: CoefficientCombineRule = CoefficientCombineRule.AVERAGE
+    restitution_combine_rule: CoefficientCombineRule = CoefficientCombineRule.AVERAGE
+    density: float = 1.0
+    mass: Optional[float] = None
+    sensor: bool = False
+    collision_groups: int = 0xFFFF_FFFF
+    solver_groups: int = 0xFFFF_FFFF
+    contact_skin: float = 0.0
+    active_events: int = 0
+    active_hooks: int = 0
+    contact_force_event_threshold: float = float("inf")
+    enabled: bool = True
+    user_data: int = 0
+
+    # --- shape constructors (ColliderBuilder ctors, collider.rs:688-1108) ---
+    @staticmethod
+    def ball(radius) -> "ColliderBuilder":
+        return ColliderBuilder(ShapeType.BALL, (float(radius),))
+
+    @staticmethod
+    def cuboid(hx, hy, hz) -> "ColliderBuilder":
+        return ColliderBuilder(ShapeType.CUBOID, (float(hx), float(hy), float(hz)))
+
+    @staticmethod
+    def round_cuboid(hx, hy, hz, border_radius) -> "ColliderBuilder":
+        return ColliderBuilder(
+            ShapeType.ROUND_CUBOID,
+            (float(hx), float(hy), float(hz), float(border_radius)),
+        )
+
+    @staticmethod
+    def capsule_y(half_height, radius) -> "ColliderBuilder":
+        return ColliderBuilder(
+            ShapeType.CAPSULE,
+            (0.0, -float(half_height), 0.0, 0.0, float(half_height), 0.0, float(radius)),
+        )
+
+    @staticmethod
+    def capsule_x(half_height, radius) -> "ColliderBuilder":
+        return ColliderBuilder(
+            ShapeType.CAPSULE,
+            (-float(half_height), 0.0, 0.0, float(half_height), 0.0, 0.0, float(radius)),
+        )
+
+    @staticmethod
+    def capsule_z(half_height, radius) -> "ColliderBuilder":
+        return ColliderBuilder(
+            ShapeType.CAPSULE,
+            (0.0, 0.0, -float(half_height), 0.0, 0.0, float(half_height), float(radius)),
+        )
+
+    @staticmethod
+    def capsule_from_endpoints(a, b, radius) -> "ColliderBuilder":
+        a = tuple(float(x) for x in a)
+        b = tuple(float(x) for x in b)
+        return ColliderBuilder(ShapeType.CAPSULE, a + b + (float(radius),))
+
+    @staticmethod
+    def segment(a, b) -> "ColliderBuilder":
+        a = tuple(float(x) for x in a)
+        b = tuple(float(x) for x in b)
+        return ColliderBuilder(ShapeType.SEGMENT, a + b)
+
+    @staticmethod
+    def halfspace(normal) -> "ColliderBuilder":
+        n = np.asarray(normal, dtype=np.float64)
+        n = n / np.linalg.norm(n)
+        return ColliderBuilder(ShapeType.HALFSPACE, tuple(n))
+
+    @staticmethod
+    def cylinder(half_height, radius) -> "ColliderBuilder":
+        return ColliderBuilder(ShapeType.CYLINDER, (float(half_height), float(radius)))
+
+    @staticmethod
+    def round_cylinder(half_height, radius, border_radius) -> "ColliderBuilder":
+        return ColliderBuilder(
+            ShapeType.ROUND_CYLINDER,
+            (float(half_height), float(radius), float(border_radius)),
+        )
+
+    @staticmethod
+    def cone(half_height, radius) -> "ColliderBuilder":
+        return ColliderBuilder(ShapeType.CONE, (float(half_height), float(radius)))
+
+    @staticmethod
+    def round_cone(half_height, radius, border_radius) -> "ColliderBuilder":
+        return ColliderBuilder(
+            ShapeType.ROUND_CONE,
+            (float(half_height), float(radius), float(border_radius)),
+        )
+
+    @staticmethod
+    def trimesh(vertices, indices) -> "ColliderBuilder":
+        """Triangle mesh collider (reference ColliderBuilder::trimesh).
+        vertices: (V, 3) float array; indices: (T, 3) int array."""
+        cb = ColliderBuilder(ShapeType.TRIMESH, ())
+        cb._mesh = (np.asarray(vertices, np.float32),
+                    np.asarray(indices, np.int32))
+        return cb
+
+    @staticmethod
+    def heightfield(heights, scale) -> "ColliderBuilder":
+        """Heightfield collider triangulated at build time (the reference's
+        HeightField::to_trimesh path).  heights: (nrows, ncols); scale:
+        (sx, sy, sz) full extents — the field spans [-sx/2, sx/2] x
+        [-sz/2, sz/2], y = height * sy, centered at the collider origin."""
+        h = np.asarray(heights, np.float64)
+        nr, nc = h.shape
+        sx, sy, sz = (float(s) for s in scale)
+        xs = np.linspace(-sx / 2, sx / 2, nc)
+        zs = np.linspace(-sz / 2, sz / 2, nr)
+        verts = np.zeros((nr * nc, 3), np.float32)
+        for r in range(nr):
+            for c in range(nc):
+                verts[r * nc + c] = (xs[c], h[r, c] * sy, zs[r])
+        tris = []
+        for r in range(nr - 1):
+            for c in range(nc - 1):
+                i00 = r * nc + c
+                i01 = r * nc + c + 1
+                i10 = (r + 1) * nc + c
+                i11 = (r + 1) * nc + c + 1
+                tris.append((i00, i10, i01))
+                tris.append((i01, i10, i11))
+        cb = ColliderBuilder(ShapeType.HEIGHTFIELD, ())
+        cb._mesh = (verts, np.asarray(tris, np.int32))
+        return cb
+
+    def _set(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+        return self
+
+    def with_friction(self, f):
+        return self._set(friction=float(f))
+
+    def with_restitution(self, r):
+        return self._set(restitution=float(r))
+
+    def with_density(self, d):
+        return self._set(density=float(d))
+
+    def with_translation(self, xyz):
+        return self._set(translation=tuple(xyz))
+
+    def with_rotation(self, rot):
+        return self._set(rotation=tuple(np.asarray(_as_quat(rot))))
+
+    def as_sensor(self):
+        return self._set(sensor=True)
+
+
+def _quat_from_x_axis(axis) -> np.ndarray:
+    """Shortest-arc quaternion rotating +X onto `axis` (joint frame setup)."""
+    a = np.asarray(axis, dtype=np.float64)
+    a = a / np.linalg.norm(a)
+    x = np.array([1.0, 0.0, 0.0])
+    c = np.cross(x, a)
+    d = float(np.dot(x, a))
+    if d < -1.0 + 1e-9:
+        return np.array([0.0, 0.0, 1.0, 0.0])  # pi around z
+    q = np.array([c[0], c[1], c[2], 1.0 + d])
+    return q / np.linalg.norm(q)
+
+
+_ALL_AXES = 0b111111
+_LIN_AXES = 0b000111
+_ANG_AXES = 0b111000
+
+
+@dataclass
+class GenericJointBuilder:
+    """Axis-based joint description (reference GenericJointBuilder,
+    src/dynamics/joint/generic_joint.rs:653-806).  Typed constructors below
+    mirror FixedJoint/RevoluteJoint/PrismaticJoint/SphericalJoint/RopeJoint/
+    SpringJoint."""
+
+    locked_axes: int = 0
+    limit_axes: int = 0
+    motor_axes: int = 0
+    coupled_axes: int = 0
+    local_anchor1: tuple = (0.0, 0.0, 0.0)
+    local_anchor2: tuple = (0.0, 0.0, 0.0)
+    local_frame_rot1: tuple = _IDQ
+    local_frame_rot2: tuple = _IDQ
+    limit_min: tuple = tuple([-float("inf")] * 6)
+    limit_max: tuple = tuple([float("inf")] * 6)
+    motor_target_pos: tuple = tuple([0.0] * 6)
+    motor_target_vel: tuple = tuple([0.0] * 6)
+    motor_stiffness: tuple = tuple([0.0] * 6)
+    motor_damping: tuple = tuple([0.0] * 6)
+    motor_max_force: tuple = tuple([3.4e38] * 6)
+    motor_model: tuple = tuple([0] * 6)
+    contacts_enabled: bool = True
+
+    # -- typed constructors --
+    @staticmethod
+    def fixed() -> "GenericJointBuilder":
+        return GenericJointBuilder(locked_axes=_ALL_AXES)
+
+    @staticmethod
+    def revolute(axis) -> "GenericJointBuilder":
+        q = tuple(_quat_from_x_axis(axis))
+        return GenericJointBuilder(
+            locked_axes=_ALL_AXES & ~(1 << 3),  # free ANG_X
+            local_frame_rot1=q, local_frame_rot2=q,
+        )
+
+    @staticmethod
+    def prismatic(axis) -> "GenericJointBuilder":
+        q = tuple(_quat_from_x_axis(axis))
+        return GenericJointBuilder(
+            locked_axes=_ALL_AXES & ~(1 << 0),  # free LIN_X
+            local_frame_rot1=q, local_frame_rot2=q,
+        )
+
+    @staticmethod
+    def spherical() -> "GenericJointBuilder":
+        return GenericJointBuilder(locked_axes=_LIN_AXES)
+
+    @staticmethod
+    def rope(max_length: float) -> "GenericJointBuilder":
+        b = GenericJointBuilder(coupled_axes=_LIN_AXES, limit_axes=1 << 0)
+        lmax = list(b.limit_max)
+        lmax[0] = float(max_length)
+        b.limit_max = tuple(lmax)
+        return b
+
+    @staticmethod
+    def spring(rest_length: float, stiffness: float, damping: float) -> "GenericJointBuilder":
+        b = GenericJointBuilder(coupled_axes=_LIN_AXES, motor_axes=1 << 0)
+        tp = list(b.motor_target_pos)
+        st = list(b.motor_stiffness)
+        dp = list(b.motor_damping)
+        tp[0], st[0], dp[0] = float(rest_length), float(stiffness), float(damping)
+        b.motor_target_pos = tuple(tp)
+        b.motor_stiffness = tuple(st)
+        b.motor_damping = tuple(dp)
+        return b
+
+    # -- chainable config --
+    def _set_axis(self, field_name, axis, value):
+        cur = list(getattr(self, field_name))
+        cur[axis] = value
+        setattr(self, field_name, tuple(cur))
+        return self
+
+    def with_local_anchor1(self, p):
+        self.local_anchor1 = tuple(p)
+        return self
+
+    def with_local_anchor2(self, p):
+        self.local_anchor2 = tuple(p)
+        return self
+
+    def with_limits(self, axis: int, lo: float, hi: float):
+        self.limit_axes |= 1 << axis
+        self._set_axis("limit_min", axis, float(lo))
+        return self._set_axis("limit_max", axis, float(hi))
+
+    def with_motor_velocity(self, axis: int, target_vel: float, damping: float):
+        self.motor_axes |= 1 << axis
+        self._set_axis("motor_target_vel", axis, float(target_vel))
+        return self._set_axis("motor_damping", axis, float(damping))
+
+    def with_motor_position(self, axis: int, target_pos: float,
+                            stiffness: float, damping: float):
+        self.motor_axes |= 1 << axis
+        self._set_axis("motor_target_pos", axis, float(target_pos))
+        self._set_axis("motor_stiffness", axis, float(stiffness))
+        return self._set_axis("motor_damping", axis, float(damping))
+
+    def with_motor_max_force(self, axis: int, force: float):
+        return self._set_axis("motor_max_force", axis, float(force))
+
+    def with_contacts_enabled(self, enabled: bool):
+        self.contacts_enabled = bool(enabled)
+        return self
+
+
+# Convenience aliases mirroring the reference's typed builders.
+def FixedJointBuilder():
+    return GenericJointBuilder.fixed()
+
+
+def RevoluteJointBuilder(axis):
+    return GenericJointBuilder.revolute(axis)
+
+
+def PrismaticJointBuilder(axis):
+    return GenericJointBuilder.prismatic(axis)
+
+
+def SphericalJointBuilder():
+    return GenericJointBuilder.spherical()
+
+
+def RopeJointBuilder(max_length):
+    return GenericJointBuilder.rope(max_length)
+
+
+def SpringJointBuilder(rest_length, stiffness, damping):
+    return GenericJointBuilder.spring(rest_length, stiffness, damping)
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(((x + m - 1) // m) * m, m)
+
+
+@dataclass
+class _PendingBody:
+    builder: RigidBodyBuilder
+    colliders: list = field(default_factory=list)
+
+
+class PhysicsWorld:
+    """Scene container + stepping facade (reference PhysicsWorld).
+
+    Usage::
+
+        world = PhysicsWorld(gravity=(0, -9.81, 0))
+        ground = world.insert_body(RigidBodyBuilder.fixed())
+        world.insert_collider(ColliderBuilder.cuboid(100, 1, 100), ground)
+        ball = world.insert_body(
+            RigidBodyBuilder.dynamic().with_translation((0, 5, 0)))
+        world.insert_collider(ColliderBuilder.ball(0.5), ball)
+        world.step()
+        print(world.body_translation(ball))
+    """
+
+    def __init__(self, gravity=(0.0, -9.81, 0.0), params: Optional[SimParams] = None,
+                 max_pairs: Optional[int] = None, body_capacity: Optional[int] = None,
+                 collider_capacity: Optional[int] = None):
+        self._pending_bodies: list[RigidBodyBuilder] = []
+        self._pending_colliders: list[tuple[ColliderBuilder, int]] = []
+        self._pending_joints: list[tuple[GenericJointBuilder, int, int]] = []
+        self.params = params if params is not None else SimParams()
+        self.params = self.params.replace(
+            gravity=jnp.asarray(gravity, jnp.float32)
+        )
+        self._max_pairs = max_pairs
+        self._body_capacity = body_capacity
+        self._collider_capacity = collider_capacity
+        self.state: Optional[SceneState] = None
+        self.last_events = None
+        self._jit_step = jax.jit(_step_fn)
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    def insert_body(self, builder: RigidBodyBuilder) -> int:
+        assert self.state is None, "world already built (rebuild support: TODO)"
+        self._pending_bodies.append(builder)
+        return len(self._pending_bodies) - 1
+
+    def insert_collider(self, builder: ColliderBuilder, body: int = -1) -> int:
+        assert self.state is None, "world already built"
+        self._pending_colliders.append((builder, body))
+        return len(self._pending_colliders) - 1
+
+    def insert(self, body_builder: RigidBodyBuilder, *collider_builders) -> int:
+        h = self.insert_body(body_builder)
+        for cb in collider_builders:
+            self.insert_collider(cb, h)
+        return h
+
+    def insert_impulse_joint(self, body1: int, body2: int,
+                             joint: GenericJointBuilder) -> int:
+        assert self.state is None, "world already built"
+        self._pending_joints.append((joint, body1, body2))
+        return len(self._pending_joints) - 1
+
+    def build(self) -> SceneState:
+        nb = len(self._pending_bodies)
+        nc = len(self._pending_colliders)
+        n_cap = self._body_capacity or _round_up(nb, 8)
+        c_cap = self._collider_capacity or _round_up(nc, 8)
+        has_meshes = any(
+            getattr(cb, "_mesh", None) is not None
+            for cb, _ in self._pending_colliders
+        )
+        mesh_lanes = (
+            self.params.max_mesh_pairs * self.params.tris_per_pair
+            if has_meshes else 0
+        )
+        p_cap = self._max_pairs or (
+            _round_up(max(8 * nc, 64), 128) + mesh_lanes
+        )
+
+        import dataclasses as _dc
+
+        _b0 = empty_bodies(n_cap)
+        _c0 = empty_colliders(c_cap)
+        bodies = {f.name: np.asarray(getattr(_b0, f.name)).copy()
+                  for f in _dc.fields(_b0)}
+        colliders = {f.name: np.asarray(getattr(_c0, f.name)).copy()
+                     for f in _dc.fields(_c0)}
+
+        # Mass property accumulation per body.
+        body_parts: dict[int, list] = {i: [] for i in range(nb)}
+
+        # Collect mesh colliders into shared tables.
+        mesh_verts: list[np.ndarray] = []
+        mesh_tris: list[np.ndarray] = []
+        tri_cursor = 0
+        vert_cursor = 0
+        mesh_ranges: dict[int, tuple] = {}
+        for i, (cb, _parent) in enumerate(self._pending_colliders):
+            m = getattr(cb, "_mesh", None)
+            if m is None:
+                continue
+            v, t = m
+            mesh_verts.append(v)
+            mesh_tris.append(t + vert_cursor)
+            lo = v.min(axis=0)
+            hi = v.max(axis=0)
+            mesh_ranges[i] = (tri_cursor, len(t), lo, hi)
+            tri_cursor += len(t)
+            vert_cursor += len(v)
+
+        for i, (cb, parent) in enumerate(self._pending_colliders):
+            prm = np.zeros(12, np.float32)
+            prm[: len(cb.shape_params)] = cb.shape_params
+            if i in mesh_ranges:
+                start, count, lo, hi = mesh_ranges[i]
+                prm[0], prm[1] = start, count
+                prm[2:5] = lo
+                prm[5:8] = hi
+            colliders["parent"][i] = parent
+            colliders["local_pos"][i] = cb.translation
+            colliders["local_rot"][i] = _as_quat(cb.rotation)
+            colliders["shape_type"][i] = int(cb.shape_type)
+            colliders["shape_params"][i] = prm
+            colliders["friction"][i] = cb.friction
+            colliders["restitution"][i] = cb.restitution
+            colliders["friction_combine"][i] = int(cb.friction_combine_rule)
+            colliders["restitution_combine"][i] = int(cb.restitution_combine_rule)
+            colliders["collision_groups"][i] = cb.collision_groups
+            colliders["solver_groups"][i] = cb.solver_groups
+            colliders["sensor"][i] = cb.sensor
+            colliders["enabled"][i] = cb.enabled
+            colliders["contact_skin"][i] = cb.contact_skin
+            colliders["active_events"][i] = cb.active_events
+            colliders["active_hooks"][i] = cb.active_hooks
+            colliders["contact_force_event_threshold"][i] = cb.contact_force_event_threshold
+            colliders["user_data"][i] = cb.user_data
+
+            if parent >= 0 and not cb.sensor:
+                smp = mp.shape_mass_properties(int(cb.shape_type), prm, cb.density)
+                if cb.mass is not None and smp.mass > 0:
+                    scale = cb.mass / smp.mass
+                    smp = mp.MassProperties(
+                        cb.mass, smp.com, smp.principal_inertia * scale,
+                        smp.principal_frame,
+                    )
+                body_parts[parent].append(
+                    (smp, np.asarray(cb.translation, np.float64),
+                     _as_quat(cb.rotation))
+                )
+
+        for i, bb in enumerate(self._pending_bodies):
+            q = _as_quat(bb.rotation)
+            bodies["pos"][i] = bb.translation
+            bodies["rot"][i] = q
+            bodies["next_pos"][i] = bb.translation
+            bodies["next_rot"][i] = q
+            bodies["linvel"][i] = bb.linvel
+            bodies["angvel"][i] = bb.angvel
+            bodies["body_type"][i] = int(bb.body_type)
+            bodies["enabled"][i] = bb.enabled
+            bodies["locked_axes"][i] = bb.locked_axes
+            bodies["gravity_scale"][i] = bb.gravity_scale
+            bodies["linear_damping"][i] = bb.linear_damping
+            bodies["angular_damping"][i] = bb.angular_damping
+            bodies["dominance"][i] = bb.dominance_group
+            bodies["gyro_enabled"][i] = bb.gyroscopic_forces_enabled
+            bodies["can_sleep"][i] = bb.can_sleep
+            bodies["sleeping"][i] = bb.sleeping
+            bodies["sleep_timer"][i] = (
+                2.0 if bb.sleeping else 0.0
+            )
+            bodies["ccd_enabled"][i] = bb.ccd_enabled
+            bodies["soft_ccd_prediction"][i] = bb.soft_ccd_prediction
+            bodies["user_data"][i] = bb.user_data
+
+            if bb.body_type == BodyType.DYNAMIC:
+                combined = mp.combine(body_parts[i])
+                total_mass = combined.mass + bb.additional_mass
+                if total_mass > 0:
+                    bodies["inv_mass"][i] = 1.0 / total_mass
+                    bodies["local_com"][i] = combined.com
+                    inertia = combined.principal_inertia
+                    if bb.additional_mass > 0 and combined.mass > 0:
+                        inertia = inertia * (total_mass / combined.mass)
+                    with np.errstate(divide="ignore"):
+                        inv_i = np.where(inertia > 0, 1.0 / inertia, 0.0)
+                    bodies["inv_principal_inertia"][i] = inv_i
+                    bodies["principal_frame"][i] = combined.principal_frame
+
+        # Joints: local anchors shifted into COM space (the reference's
+        # transform_to_solver_body_space, joint_constraint_builder.rs:60).
+        joints_state = None
+        nj = len(self._pending_joints)
+        if nj > 0:
+            from rapier_tpu.types import empty_joints
+
+            j_cap = _round_up(nj, 8)
+            _j0 = empty_joints(j_cap)
+            jarr = {f.name: np.asarray(getattr(_j0, f.name)).copy()
+                    for f in _dc.fields(_j0)}
+            for i, (jb, b1, b2) in enumerate(self._pending_joints):
+                jarr["body1"][i] = b1
+                jarr["body2"][i] = b2
+                jarr["local_pos1"][i] = (
+                    np.asarray(jb.local_anchor1) - bodies["local_com"][b1]
+                )
+                jarr["local_pos2"][i] = (
+                    np.asarray(jb.local_anchor2) - bodies["local_com"][b2]
+                )
+                jarr["local_rot1"][i] = _as_quat(jb.local_frame_rot1)
+                jarr["local_rot2"][i] = _as_quat(jb.local_frame_rot2)
+                jarr["locked_axes"][i] = jb.locked_axes
+                jarr["limit_axes"][i] = jb.limit_axes
+                jarr["motor_axes"][i] = jb.motor_axes
+                jarr["coupled_axes"][i] = jb.coupled_axes
+                jarr["limit_min"][i] = jb.limit_min
+                jarr["limit_max"][i] = jb.limit_max
+                jarr["motor_target_pos"][i] = jb.motor_target_pos
+                jarr["motor_target_vel"][i] = jb.motor_target_vel
+                jarr["motor_stiffness"][i] = jb.motor_stiffness
+                jarr["motor_damping"][i] = jb.motor_damping
+                jarr["motor_max_force"][i] = np.minimum(jb.motor_max_force, 3.4e38)
+                jarr["motor_model"][i] = jb.motor_model
+                jarr["contacts_enabled"][i] = jb.contacts_enabled
+                jarr["enabled"][i] = True
+            from rapier_tpu.types import Joints
+
+            joints_state = Joints(**{k: jnp.asarray(v) for k, v in jarr.items()})
+
+        meshes_state = None
+        if mesh_verts:
+            from rapier_tpu.types import MeshData
+
+            all_v = np.concatenate(mesh_verts)
+            all_t = np.concatenate(mesh_tris)
+            v_cap = _round_up(len(all_v), 8)
+            t_cap = _round_up(len(all_t), 8)
+            vpad = np.zeros((v_cap, 3), np.float32)
+            vpad[: len(all_v)] = all_v
+            tpad = np.full((t_cap, 3), -1, np.int32)
+            tpad[: len(all_t)] = all_t
+            meshes_state = MeshData(
+                vertices=jnp.asarray(vpad), triangles=jnp.asarray(tpad)
+            )
+
+        from rapier_tpu.types import Bodies, Colliders
+
+        self.state = SceneState(
+            bodies=Bodies(**{k: jnp.asarray(v) for k, v in bodies.items()}),
+            colliders=Colliders(**{k: jnp.asarray(v) for k, v in colliders.items()}),
+            contacts=empty_contacts(p_cap),
+            joints=joints_state,
+            meshes=meshes_state,
+        )
+        if any(bb.ccd_enabled for bb in self._pending_bodies):
+            self.params = self.params.replace(enable_ccd=True)
+
+        self.n_bodies = nb
+        self.n_colliders = nc
+        return self.state
+
+    # ------------------------------------------------------------------
+    # Stepping & access
+    # ------------------------------------------------------------------
+    def step(self, n: int = 1):
+        if self.state is None:
+            self.build()
+        for _ in range(n):
+            self.state, self.last_events = self._jit_step(self.state, self.params)
+        return self.state
+
+    def body_translation(self, h: int) -> np.ndarray:
+        return np.asarray(self.state.bodies.pos[h])
+
+    def body_rotation(self, h: int) -> np.ndarray:
+        return np.asarray(self.state.bodies.rot[h])
+
+    def body_linvel(self, h: int) -> np.ndarray:
+        return np.asarray(self.state.bodies.linvel[h])
+
+    def body_angvel(self, h: int) -> np.ndarray:
+        return np.asarray(self.state.bodies.angvel[h])
+
+    def body_is_sleeping(self, h: int) -> bool:
+        return bool(self.state.bodies.sleeping[h])
+
+    def _update_body(self, **field_updates):
+        self.state = self.state.replace(
+            bodies=self.state.bodies.replace(**field_updates)
+        )
+
+    def set_linvel(self, h: int, v, wake_up: bool = True):
+        b = self.state.bodies
+        upd = {"linvel": b.linvel.at[h].set(jnp.asarray(v, jnp.float32))}
+        if wake_up:
+            upd["sleeping"] = b.sleeping.at[h].set(False)
+            upd["sleep_timer"] = b.sleep_timer.at[h].set(0.0)
+        self._update_body(**upd)
+
+    def apply_impulse(self, h: int, impulse, wake_up: bool = True):
+        b = self.state.bodies
+        dv = jnp.asarray(impulse, jnp.float32) * b.inv_mass[h]
+        self.set_linvel(h, b.linvel[h] + dv, wake_up)
+
+    def add_force(self, h: int, force, wake_up: bool = True):
+        b = self.state.bodies
+        upd = {"force": b.force.at[h].add(jnp.asarray(force, jnp.float32))}
+        if wake_up:
+            upd["sleeping"] = b.sleeping.at[h].set(False)
+            upd["sleep_timer"] = b.sleep_timer.at[h].set(0.0)
+        self._update_body(**upd)
+
+    def reset_forces(self, h: int):
+        b = self.state.bodies
+        self._update_body(force=b.force.at[h].set(0.0),
+                          torque=b.torque.at[h].set(0.0))
+
+    def wake_up(self, h: int):
+        b = self.state.bodies
+        self._update_body(
+            sleeping=b.sleeping.at[h].set(False),
+            sleep_timer=b.sleep_timer.at[h].set(0.0),
+        )
+
+    def set_next_kinematic_translation(self, h: int, xyz):
+        b = self.state.bodies
+        self._update_body(next_pos=b.next_pos.at[h].set(jnp.asarray(xyz, jnp.float32)))
+
+    # ------------------------------------------------------------------
+    # Snapshots (reference §5.4: full state serde round-trip)
+    # ------------------------------------------------------------------
+    def snapshot(self) -> SceneState:
+        return self.state
+
+    def restore(self, snap: SceneState):
+        self.state = snap
