@@ -24,16 +24,22 @@ BASELINE_SINGLE_SCENE_STEPS_PER_SEC = 5000.0
 
 
 def main():
-    n_scenes = int(os.environ.get("BENCH_SCENES", "4096"))
+    # 4096 scenes needs ~28GB HBM at the current memory footprint (>16GB on a
+    # single v5e chip); 2048 fits.  Multi-chip sharding reaches 4096+.
+    n_scenes = int(os.environ.get("BENCH_SCENES", "2048"))
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
 
     from rapier_tpu.pipeline.physics_pipeline import step
     from rapier_tpu.scenes import mixed_primitives_world, replicate_scene
 
-    # ~100 bodies: 4 layers x 5x5 grid + ground.
-    world = mixed_primitives_world(num_layers=4, grid=5)
+    # ~100 bodies: 4 layers x 5x5 grid + ground.  max_pairs sized to the
+    # scene's real contact count (~400) — the warmstart join is O(P^2).
+    world = mixed_primitives_world(num_layers=4, grid=5, max_pairs=512)
     state0 = world.build()
-    batch = jax.tree.map(jnp.asarray, replicate_scene(state0, n_scenes))
+    batch = jax.device_put(
+        jax.tree.map(jnp.asarray, replicate_scene(state0, n_scenes)),
+        jax.devices()[0],
+    )
     params = world.params
 
     @jax.jit

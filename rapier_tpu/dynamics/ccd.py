@@ -22,12 +22,10 @@ _BISECT_ITERS = 16
 
 
 def _pair_distance(colliders, cA, cB, posA, rotA, posB, rotB):
-    """Signed distance estimate between two colliders at given poses, via the
-    narrow-phase dispatch (deepest manifold point)."""
-    from rapier_tpu.geometry.narrowphase import ball_ball, ball_cuboid, \
-        ball_capsule, ball_halfspace, capsule_halfspace, convex_halfspace
-    from rapier_tpu.geometry.narrowphase_boxbox import cuboid_cuboid
-    from rapier_tpu.geometry.narrowphase_convex import convex_convex
+    """Signed distance estimate between two colliders at given poses (cheap
+    sampled-SAT gap; mesh CCD TODO)."""
+    from rapier_tpu.geometry import shapes as shp
+    from rapier_tpu.geometry.narrowphase_convex import support_gap
     from rapier_tpu.types import ShapeType
 
     tA = colliders.shape_type[cA]
@@ -35,13 +33,13 @@ def _pair_distance(colliders, cA, cB, posA, rotA, posB, rotB):
     prmA = colliders.shape_params[cA]
     prmB = colliders.shape_params[cB]
 
-    # Generic support-based distance covers all convex pairs; halfspace
-    # special-cased.  (Mesh CCD: TODO — falls back to +inf, no clamping.)
-    man_cc = convex_convex(posA, rotA, tA, prmA, posB, rotB, tB, prmB)
-    d_cc = jnp.min(jnp.where(man_cc.valid, man_cc.dist, 1e10))
+    d_cc, _ = support_gap(posA, rotA, tA, prmA, posB, rotB, tB, prmB)
 
-    man_hs = convex_halfspace(posA, rotA, tA, prmA, posB, rotB, prmB)
-    d_hs = jnp.min(jnp.where(man_hs.valid, man_hs.dist, 1e10))
+    # Halfspace B: exact plane distance.
+    n_plane = quat.rotate(rotB, prmB[0:3])
+    s_l = shp.support_point(tA, prmA, quat.inv_rotate(rotA, -n_plane))
+    s_w = quat.transform_point(posA, rotA, s_l)
+    d_hs = jnp.dot(n_plane, s_w - posB)
 
     is_hs_b = tB == ShapeType.HALFSPACE
     return jnp.where(is_hs_b, d_hs, d_cc)
@@ -96,12 +94,11 @@ def clamp_motions(bodies, colliders, params):
         & ~is_mesh_type(colliders.shape_type[j_idx])
         & ~is_mesh_type(colliders.shape_type[i_idx])
     )
-    slot = jnp.cumsum(cand.astype(jnp.int32)) - 1
-    keep = cand & (slot < MAX_CCD_PAIRS)
-    tgt = jnp.where(keep, slot, MAX_CCD_PAIRS)
-    pi = jnp.zeros((MAX_CCD_PAIRS,), jnp.int32).at[tgt].set(i_idx, mode="drop")
-    pj = jnp.zeros((MAX_CCD_PAIRS,), jnp.int32).at[tgt].set(j_idx, mode="drop")
-    pvalid = jnp.zeros((MAX_CCD_PAIRS,), bool).at[tgt].set(keep, mode="drop")
+    from rapier_tpu.utils.compaction import compact_indices
+
+    src, pvalid, _ = compact_indices(cand, MAX_CCD_PAIRS)
+    pi = jnp.where(pvalid, i_idx[src], 0)
+    pj = jnp.where(pvalid, j_idx[src], 0)
 
     def pose_at(cidx, t):
         b = parent[cidx]

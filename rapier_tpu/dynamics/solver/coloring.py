@@ -47,13 +47,21 @@ def color_constraints(b1, b2, dyn1, dyn2, valid, n_bodies: int, max_colors: int)
     t1 = jnp.where(dyn1, b1, sent)
     t2 = jnp.where(dyn2, b2, sent)
 
+    # One-hot body-membership masks (hoisted out of the rounds): per-body max
+    # becomes a masked broadcast reduction — no TPU scatters.
+    body_ids = jnp.arange(n_bodies + 1)
+    oh1 = t1[:, None] == body_ids[None, :]   # [K, N+1] bool
+    oh2 = t2[:, None] == body_ids[None, :]
+
     for r in range(max_colors - 1):
         unc = valid & (color < 0)
-        bw = jnp.zeros((n_bodies + 1,), jnp.uint32)
-        bw = bw.at[jnp.where(unc, t1, sent)].max(jnp.where(unc, w, 0))
-        bw = bw.at[jnp.where(unc, t2, sent)].max(jnp.where(unc, w, 0))
-        ok1 = ~dyn1 | (bw[jnp.minimum(t1, sent)] == w)
-        ok2 = ~dyn2 | (bw[jnp.minimum(t2, sent)] == w)
+        wm = jnp.where(unc, w, jnp.uint32(0))[:, None]
+        bw = jnp.maximum(
+            jnp.max(jnp.where(oh1, wm, jnp.uint32(0)), axis=0),
+            jnp.max(jnp.where(oh2, wm, jnp.uint32(0)), axis=0),
+        )
+        ok1 = ~dyn1 | (bw[t1] == w)
+        ok2 = ~dyn2 | (bw[t2] == w)
         sel = unc & ok1 & ok2
         color = jnp.where(sel, r, color)
 

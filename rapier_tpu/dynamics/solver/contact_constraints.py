@@ -5,8 +5,14 @@ Faithful behavioral port of the reference's default 3D contact constraint
 src/dynamics/solver/contact_constraint/contact_with_twist_friction.rs:48-250,
 per-substep update mirrors :251-330, and the solve mirrors
 contact_constraint_element.rs (normal part :263-287, tangent 2D-coupled part
-:161-203, twist part :31-46) — recast as batched lane arrays with masked
-gather/scatter instead of SIMD lanes.
+:161-203, twist part :31-46).
+
+TPU data layout: every hot array keeps the PAIR LANE axis LAST and the small
+component axis first ([3, P] vectors, [4, P] per-point scalars, [4, 3, P]
+per-point vectors).  TPU tiles pad the trailing two dims to (8, 128); a
+[P, 4, 3] layout would bloat 85x and the solver's color loop re-reads these
+arrays every pass (see utils/compaction.py for the same reasoning on
+scatters).  Body gathers/scatters run as one-hot matmuls on the MXU.
 """
 
 from __future__ import annotations
@@ -17,184 +23,209 @@ import jax
 import jax.numpy as jnp
 
 from rapier_tpu.math import quat
+from rapier_tpu.math.quat import cross_cl, dot_cl, rotate_cl
 
 
 class SolverBodies(NamedTuple):
-    """SoA scratch bodies (reference solver_body.rs:75), sized N+1: the last
-    slot is a zeroed sentinel absorbing static/dominant endpoints."""
+    """SoA scratch bodies (reference solver_body.rs:75), component-leading,
+    sized N+1: the last slot is a zeroed sentinel absorbing static/dominant
+    endpoints."""
 
-    v_lin: jax.Array  # [N+1, 3]
-    v_ang: jax.Array  # [N+1, 3]
-    com: jax.Array    # [N+1, 3]  pose translation at center of mass
-    rot: jax.Array    # [N+1, 4]
-    im: jax.Array     # [N+1, 3]  per-axis effective inverse mass
-    ii: jax.Array     # [N+1, 3, 3] effective world inverse inertia
+    v_lin: jax.Array  # [3, N+1]
+    v_ang: jax.Array  # [3, N+1]
+    com: jax.Array    # [3, N+1]  pose translation at center of mass
+    rot: jax.Array    # [4, N+1]
+    im: jax.Array     # [3, N+1]  per-axis effective inverse mass
+    ii: jax.Array     # [3, 3, N+1] effective world inverse inertia
 
 
 class ContactConstraints(NamedTuple):
-    """Per-manifold constraint lanes [P] with up to 4 points."""
+    """Per-manifold constraint lanes (axis LAST = P) with up to 4 points."""
 
     b1: jax.Array            # [P] solver body index (sentinel = static)
     b2: jax.Array            # [P]
     valid: jax.Array         # [P] bool
     color: jax.Array         # [P] int32
-    dir1: jax.Array          # [P, 3] force direction on body1 (= -normal)
-    tangent1: jax.Array      # [P, 3]
-    im1: jax.Array           # [P, 3]
-    im2: jax.Array           # [P, 3]
+    dir1: jax.Array          # [3, P] force direction on body1 (= -normal)
+    tangent1: jax.Array      # [3, P]
+    im1: jax.Array           # [3, P]
+    im2: jax.Array           # [3, P]
     limit: jax.Array         # [P] friction coefficient
-    point_mask: jax.Array    # [P, 4] bool
+    point_mask: jax.Array    # [4, P] bool
     # normal parts
-    torque_dir1: jax.Array       # [P, 4, 3]
-    torque_dir2: jax.Array       # [P, 4, 3]
-    ii_torque_dir1: jax.Array    # [P, 4, 3]
-    ii_torque_dir2: jax.Array    # [P, 4, 3]
-    r: jax.Array                 # [P, 4] projected mass (1/denom)
-    local_p1: jax.Array          # [P, 4, 3] anchors in body1 COM frame
-    local_p2: jax.Array          # [P, 4, 3]
-    dist0: jax.Array             # [P, 4] distance at generation
-    normal_vel_rhs: jax.Array    # [P, 4] restitution rhs (wo bias)
-    rhs: jax.Array               # [P, 4]
-    rhs_wo_bias: jax.Array       # [P, 4]
-    impulse: jax.Array           # [P, 4]
-    impulse_acc: jax.Array       # [P, 4]
+    torque_dir1: jax.Array       # [4, 3, P]
+    torque_dir2: jax.Array       # [4, 3, P]
+    ii_torque_dir1: jax.Array    # [4, 3, P]
+    ii_torque_dir2: jax.Array    # [4, 3, P]
+    r: jax.Array                 # [4, P] projected mass (1/denom)
+    local_p1: jax.Array          # [4, 3, P] anchors in body1 COM frame
+    local_p2: jax.Array          # [4, 3, P]
+    dist0: jax.Array             # [4, P] distance at generation
+    normal_vel_rhs: jax.Array    # [4, P] restitution rhs (wo bias)
+    rhs: jax.Array               # [4, P]
+    rhs_wo_bias: jax.Array       # [4, P]
+    impulse: jax.Array           # [4, P]
+    impulse_acc: jax.Array       # [4, P]
     # manifold-level friction (twist model)
-    tan_torque_dir1: jax.Array      # [P, 2, 3]
-    tan_torque_dir2: jax.Array      # [P, 2, 3]
-    tan_ii_torque_dir1: jax.Array   # [P, 2, 3]
-    tan_ii_torque_dir2: jax.Array   # [P, 2, 3]
-    tan_r: jax.Array                # [P, 3] (r0, r1, r01 coupling)
-    tan_rhs: jax.Array              # [P, 2]
-    tan_rhs_wo_bias: jax.Array      # [P, 2]
-    tan_impulse: jax.Array          # [P, 2]
-    tan_impulse_acc: jax.Array      # [P, 2]
-    local_fc1: jax.Array            # [P, 3] friction center anchor (body1)
-    local_fc2: jax.Array            # [P, 3]
-    twist_ii_dir1: jax.Array        # [P, 3]
-    twist_ii_dir2: jax.Array        # [P, 3]
+    tan_torque_dir1: jax.Array      # [2, 3, P]
+    tan_torque_dir2: jax.Array      # [2, 3, P]
+    tan_ii_torque_dir1: jax.Array   # [2, 3, P]
+    tan_ii_torque_dir2: jax.Array   # [2, 3, P]
+    tan_r: jax.Array                # [3, P] (r0, r1, r01 coupling)
+    tan_rhs: jax.Array              # [2, P]
+    tan_rhs_wo_bias: jax.Array      # [2, P]
+    tan_impulse: jax.Array          # [2, P]
+    tan_impulse_acc: jax.Array      # [2, P]
+    local_fc1: jax.Array            # [3, P] friction center anchor (body1)
+    local_fc2: jax.Array            # [3, P]
+    twist_ii_dir1: jax.Array        # [3, P]
+    twist_ii_dir2: jax.Array        # [3, P]
     twist_r: jax.Array              # [P]
-    twist_dists: jax.Array          # [P, 4]
+    twist_dists: jax.Array          # [4, P]
     twist_impulse: jax.Array        # [P]
     twist_impulse_acc: jax.Array    # [P]
     cfm_factor: jax.Array           # scalar (set by update)
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+def _onehot(idx, n):
+    """[K] int -> [K, n] f32 selection matrix.  Gathers/scatter-adds become
+    matmuls on this: TPU computed-index scatters serialize, the MXU doesn't."""
+    return (idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
+
+
+def _gather_cl(table, oh):
+    """Gather [d, N] table rows per lane via one-hot: -> [d, P]."""
+    return table @ oh.T
+
+
+def _scatter_add_cl(table, oh, values):
+    """table [d, N] += values [d, P] routed by onehot oh [P, N]."""
+    return table + values @ oh
 
 
 def compute_tangent_directions(dir1, linvel1, linvel2):
     """Reference compute_tangent_contact_directions (contact_constraint/mod.rs):
     tangent along relative linear velocity projected on the contact plane,
-    orthonormal fallback below 1e-4."""
+    orthonormal fallback below 1e-4.  CL layout: [3, P]."""
     rel = linvel1 - linvel2
-    tan = rel - dir1 * _dot(dir1, rel)[..., None]
-    norm = jnp.linalg.norm(tan, axis=-1, keepdims=True)
+    tan = rel - dir1 * dot_cl(dir1, rel)[None]
+    norm = jnp.sqrt(jnp.sum(tan * tan, axis=0, keepdims=True))
     tan_n = tan / jnp.maximum(norm, 1e-12)
-    # Orthonormal fallback.
-    a = jnp.cross(dir1, jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), dir1.shape))
-    b = jnp.cross(dir1, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), dir1.shape))
-    fb = jnp.where(
-        (jnp.linalg.norm(a, axis=-1, keepdims=True) > 1e-6), a, b
-    )
-    fb = fb / jnp.maximum(jnp.linalg.norm(fb, axis=-1, keepdims=True), 1e-12)
-    t1 = jnp.where(norm < 1e-4, fb, tan_n)
-    return t1
+    ex = jnp.zeros_like(dir1).at[0].set(1.0)
+    ey = jnp.zeros_like(dir1).at[1].set(1.0)
+    a = cross_cl(dir1, ex)
+    b = cross_cl(dir1, ey)
+    a_len = jnp.sqrt(jnp.sum(a * a, axis=0, keepdims=True))
+    fb = jnp.where(a_len > 1e-6, a, b)
+    fb = fb / jnp.maximum(jnp.sqrt(jnp.sum(fb * fb, axis=0, keepdims=True)), 1e-12)
+    return jnp.where(norm < 1e-4, fb, tan_n)
 
 
 def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
-    """Build constraint lanes from a ManifoldBatch.
+    """Build constraint lanes from a ManifoldBatch (row-major [P, ...] input;
+    transposed once here into the lane-last layout).
 
-    Args:
-      man: geometry.dispatch.ManifoldBatch.
-      sb: SolverBodies (N+1).
-      prev_impulse: [P, 4] total normal impulse of the matched contact from the
-        previous step (0 for new contacts) — drives is_bouncy
-        (reference contact_pair.rs:576-585).
-      color: [P] int32 lane colors.
+    prev_impulse: [P, 4] total normal impulse of the matched contact from the
+    previous step (0 for new contacts) — drives is_bouncy
+    (reference contact_pair.rs:576-585).
     """
     sent = n_bodies
     b1 = jnp.where((man.body1 >= 0) & (man.rel_dominance <= 0), man.body1, sent)
     b2 = jnp.where((man.body2 >= 0) & (man.rel_dominance >= 0), man.body2, sent)
+    p = b1.shape[0]
 
-    v1l, w1 = sb.v_lin[b1], sb.v_ang[b1]
-    v2l, w2 = sb.v_lin[b2], sb.v_ang[b2]
-    com1, rot1 = sb.com[b1], sb.rot[b1]
-    com2, rot2 = sb.com[b2], sb.rot[b2]
-    im1, im2 = sb.im[b1], sb.im[b2]
-    ii1, ii2 = sb.ii[b1], sb.ii[b2]
+    oh1 = _onehot(b1, n_bodies + 1)
+    oh2 = _onehot(b2, n_bodies + 1)
+    v1l = _gather_cl(sb.v_lin, oh1)   # [3, P]
+    w1 = _gather_cl(sb.v_ang, oh1)
+    v2l = _gather_cl(sb.v_lin, oh2)
+    w2 = _gather_cl(sb.v_ang, oh2)
+    com1 = _gather_cl(sb.com, oh1)
+    com2 = _gather_cl(sb.com, oh2)
+    rot1 = _gather_cl(sb.rot, oh1)
+    rot2 = _gather_cl(sb.rot, oh2)
+    im1 = _gather_cl(sb.im, oh1)
+    im2 = _gather_cl(sb.im, oh2)
+    ii1 = jnp.einsum("abn,pn->abp", sb.ii, oh1)   # [3, 3, P]
+    ii2 = jnp.einsum("abn,pn->abp", sb.ii, oh2)
 
-    dir1 = -man.normal
+    dir1 = -man.normal.T              # [3, P]
     tangent1 = compute_tangent_directions(dir1, v1l, v2l)
-    tangent2 = jnp.cross(dir1, tangent1)
+    tangent2 = cross_cl(dir1, tangent1)
 
-    pts = man.point            # [P, 4, 3]
-    pmask = man.point_active   # [P, 4]
-    npts = jnp.sum(pmask.astype(jnp.float32), axis=-1)
+    pts = jnp.transpose(man.point, (1, 2, 0))     # [4, 3, P]
+    pmask = man.point_active.T                     # [4, P]
+    fmask = pmask.astype(jnp.float32)
+    npts = jnp.sum(fmask, axis=0)
     inv_np = 1.0 / jnp.maximum(npts, 1.0)
 
-    dp1 = pts - com1[:, None, :]
-    dp2 = pts - com2[:, None, :]
-    vel1 = v1l[:, None, :] + jnp.cross(w1[:, None, :], dp1)
-    vel2 = v2l[:, None, :] + jnp.cross(w2[:, None, :], dp2)
+    dp1 = pts - com1[None]
+    dp2 = pts - com2[None]
 
-    td1 = jnp.cross(dp1, dir1[:, None, :])
-    td2 = jnp.cross(dp2, -dir1[:, None, :])
-    iitd1 = jnp.einsum("pij,pkj->pki", ii1, td1)
-    iitd2 = jnp.einsum("pij,pkj->pki", ii2, td2)
+    # Per-point velocities: broadcast body vels over the point axis.
+    def pcross(w, dp):   # w [3,P], dp [4,3,P] -> [4,3,P]
+        return jnp.stack([cross_cl(w, dp[k]) for k in range(4)])
+
+    vel1 = v1l[None] + pcross(w1, dp1)
+    vel2 = v2l[None] + pcross(w2, dp2)
+
+    td1 = jnp.stack([cross_cl(dp1[k], dir1) for k in range(4)])     # [4,3,P]
+    td2 = jnp.stack([cross_cl(dp2[k], -dir1) for k in range(4)])
+    iitd1 = jnp.einsum("abp,kbp->kap", ii1, td1)
+    iitd2 = jnp.einsum("abp,kbp->kap", ii2, td2)
 
     imsum = im1 + im2
     denom = (
-        _dot(dir1, imsum * dir1)[:, None]
-        + _dot(iitd1, td1)
-        + _dot(iitd2, td2)
-    )
+        dot_cl(dir1, imsum * dir1)[None]
+        + jnp.sum(iitd1 * td1, axis=1)
+        + jnp.sum(iitd2 * td2, axis=1)
+    )                                              # [4, P]
     r = 1.0 / jnp.maximum(denom, 1e-12)
 
-    proj_vel = _dot(vel1 - vel2, dir1[:, None, :])
-    is_new = prev_impulse == 0.0
-    is_bouncy = jnp.where(
-        is_new, (man.restitution[:, None] > 0.0), (man.restitution[:, None] >= 1.0)
-    ).astype(jnp.float32)
-    normal_vel_rhs = is_bouncy * man.restitution[:, None] * proj_vel
+    proj_vel = jnp.sum((vel1 - vel2) * dir1[None], axis=1)   # [4, P]
+    restitution = man.restitution[None]            # [1, P]
+    is_new = prev_impulse.T == 0.0                 # [4, P]
+    is_bouncy = jnp.where(is_new, restitution > 0.0, restitution >= 1.0)
+    normal_vel_rhs = is_bouncy.astype(jnp.float32) * restitution * proj_vel
 
-    local_p1 = quat.inv_rotate(rot1[:, None, :], pts - com1[:, None, :])
-    local_p2 = quat.inv_rotate(rot2[:, None, :], pts - com2[:, None, :])
+    local_p1 = jnp.stack([quat.inv_rotate_cl(rot1, pts[k] - com1) for k in range(4)])
+    local_p2 = jnp.stack([quat.inv_rotate_cl(rot2, pts[k] - com2) for k in range(4)])
 
     # Friction center (twist model).
-    w_pts = jnp.where(pmask[..., None], pts, 0.0)
-    fc = jnp.sum(w_pts, axis=1) * inv_np[:, None]
-    local_fc1 = quat.inv_rotate(rot1, fc - com1)
-    local_fc2 = quat.inv_rotate(rot2, fc - com2)
+    fc = jnp.sum(pts * fmask[:, None, :], axis=0) * inv_np[None]   # [3, P]
+    local_fc1 = quat.inv_rotate_cl(rot1, fc - com1)
+    local_fc2 = quat.inv_rotate_cl(rot2, fc - com2)
     twist_dists = jnp.where(
-        pmask, jnp.linalg.norm(fc[:, None, :] - pts, axis=-1), 0.0
+        pmask,
+        jnp.sqrt(jnp.maximum(jnp.sum((fc[None] - pts) ** 2, axis=1), 0.0)),
+        0.0,
     )
 
     dfp1 = fc - com1
     dfp2 = fc - com2
-    tans = jnp.stack([tangent1, tangent2], axis=1)     # [P, 2, 3]
-    ttd1 = jnp.cross(dfp1[:, None, :], tans)
-    ttd2 = jnp.cross(dfp2[:, None, :], -tans)
-    tiitd1 = jnp.einsum("pij,pkj->pki", ii1, ttd1)
-    tiitd2 = jnp.einsum("pij,pkj->pki", ii2, ttd2)
+    tans = jnp.stack([tangent1, tangent2])          # [2, 3, P]
+    ttd1 = jnp.stack([cross_cl(dfp1, tans[j]) for j in range(2)])
+    ttd2 = jnp.stack([cross_cl(dfp2, -tans[j]) for j in range(2)])
+    tiitd1 = jnp.einsum("abp,jbp->jap", ii1, ttd1)
+    tiitd2 = jnp.einsum("abp,jbp->jap", ii2, ttd2)
     tr = (
-        _dot(tans, imsum[:, None, :] * tans)
-        + _dot(tiitd1, ttd1)
-        + _dot(tiitd2, ttd2)
-    )   # [P, 2] raw denominators (3D keeps them un-inverted)
+        jnp.sum(tans * (imsum[None] * tans), axis=1)
+        + jnp.sum(tiitd1 * ttd1, axis=1)
+        + jnp.sum(tiitd2 * ttd2, axis=1)
+    )                                               # [2, P]
     tr_coupling = 2.0 * (
-        _dot(tiitd1[:, 0], ttd1[:, 1]) + _dot(tiitd2[:, 0], ttd2[:, 1])
+        jnp.sum(tiitd1[0] * ttd1[1], axis=0) + jnp.sum(tiitd2[0] * ttd2[1], axis=0)
     )
-    tan_r = jnp.concatenate([tr, tr_coupling[:, None]], axis=-1)
+    tan_r = jnp.concatenate([tr, tr_coupling[None]], axis=0)   # [3, P]
 
-    twist_ii1 = jnp.einsum("pij,pj->pi", ii1, dir1)
-    twist_ii2 = jnp.einsum("pij,pj->pi", ii2, -dir1)
+    twist_ii1 = jnp.einsum("abp,bp->ap", ii1, dir1)
+    twist_ii2 = jnp.einsum("abp,bp->ap", ii2, -dir1)
     twist_r = 1.0 / jnp.maximum(
-        _dot(twist_ii1, dir1) + _dot(twist_ii2, -dir1), 1e-12
+        dot_cl(twist_ii1, dir1) + dot_cl(twist_ii2, -dir1), 1e-12
     )
 
-    p = pts.shape[0]
-    zeros_p2 = jnp.zeros((p, 2))
+    z4 = jnp.zeros((4, p))
+    z2 = jnp.zeros((2, p))
     return ContactConstraints(
         b1=b1, b2=b2, valid=man.solver_pair, color=color,
         dir1=dir1, tangent1=tangent1, im1=im1, im2=im2,
@@ -202,14 +233,14 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
         torque_dir1=td1, torque_dir2=td2,
         ii_torque_dir1=iitd1, ii_torque_dir2=iitd2,
         r=r, local_p1=local_p1, local_p2=local_p2,
-        dist0=man.dist, normal_vel_rhs=normal_vel_rhs,
-        rhs=jnp.zeros_like(r), rhs_wo_bias=jnp.zeros_like(r),
-        impulse=jnp.zeros_like(r),  # warmstart impulses folded in by caller
-        impulse_acc=jnp.zeros_like(r),
+        dist0=man.dist.T, normal_vel_rhs=normal_vel_rhs,
+        rhs=z4, rhs_wo_bias=z4,
+        impulse=z4,  # warmstart impulses folded in by the caller
+        impulse_acc=z4,
         tan_torque_dir1=ttd1, tan_torque_dir2=ttd2,
         tan_ii_torque_dir1=tiitd1, tan_ii_torque_dir2=tiitd2,
-        tan_r=tan_r, tan_rhs=zeros_p2, tan_rhs_wo_bias=zeros_p2,
-        tan_impulse=zeros_p2, tan_impulse_acc=zeros_p2,
+        tan_r=tan_r, tan_rhs=z2, tan_rhs_wo_bias=z2,
+        tan_impulse=z2, tan_impulse_acc=z2,
         local_fc1=local_fc1, local_fc2=local_fc2,
         twist_ii_dir1=twist_ii1, twist_ii_dir2=twist_ii2,
         twist_r=twist_r, twist_dists=twist_dists,
@@ -222,14 +253,19 @@ def update(c: ContactConstraints, sb: SolverBodies, *, cfm_factor, inv_dt,
            allowed_lin_err, erp_inv_dt, max_corrective_velocity,
            warmstart_coeff) -> ContactConstraints:
     """Per-substep soft-constraint rhs recompute from current solver poses
-    (reference contact_with_twist_friction.rs:251-330).  All rate arguments
-    are for the SUBSTEP dt."""
-    com1, rot1 = sb.com[c.b1], sb.rot[c.b1]
-    com2, rot2 = sb.com[c.b2], sb.rot[c.b2]
+    (reference contact_with_twist_friction.rs:251-330).  Rate arguments are
+    for the SUBSTEP dt."""
+    n1 = sb.v_lin.shape[1]
+    oh1 = _onehot(c.b1, n1)
+    oh2 = _onehot(c.b2, n1)
+    com1 = _gather_cl(sb.com, oh1)
+    com2 = _gather_cl(sb.com, oh2)
+    rot1 = _gather_cl(sb.rot, oh1)
+    rot2 = _gather_cl(sb.rot, oh2)
 
-    p1 = com1[:, None, :] + quat.rotate(rot1[:, None, :], c.local_p1)
-    p2 = com2[:, None, :] + quat.rotate(rot2[:, None, :], c.local_p2)
-    dist = c.dist0 + _dot(p1 - p2, c.dir1[:, None, :])
+    p1 = jnp.stack([com1 + rotate_cl(rot1, c.local_p1[k]) for k in range(4)])
+    p2 = jnp.stack([com2 + rotate_cl(rot2, c.local_p2[k]) for k in range(4)])
+    dist = c.dist0 + jnp.sum((p1 - p2) * c.dir1[None], axis=1)   # [4, P]
 
     rhs_wo_bias = c.normal_vel_rhs + jnp.maximum(dist, 0.0) * inv_dt
     rhs_bias = jnp.clip(
@@ -240,12 +276,11 @@ def update(c: ContactConstraints, sb: SolverBodies, *, cfm_factor, inv_dt,
     impulse_acc = c.impulse_acc + c.impulse
     impulse = c.impulse * warmstart_coeff
 
-    # Tangent rhs from friction-center drift.
-    fc1 = com1 + quat.rotate(rot1, c.local_fc1)
-    fc2 = com2 + quat.rotate(rot2, c.local_fc2)
-    tangent2 = jnp.cross(c.dir1, c.tangent1)
-    tans = jnp.stack([c.tangent1, tangent2], axis=1)
-    bias_t = _dot((fc1 - fc2)[:, None, :], tans) * inv_dt
+    fc1 = com1 + rotate_cl(rot1, c.local_fc1)
+    fc2 = com2 + rotate_cl(rot2, c.local_fc2)
+    tangent2 = cross_cl(c.dir1, c.tangent1)
+    tans = jnp.stack([c.tangent1, tangent2])
+    bias_t = jnp.sum((fc1 - fc2)[None] * tans, axis=1) * inv_dt
     tan_rhs = c.tan_rhs_wo_bias + bias_t
     tan_impulse_acc = c.tan_impulse_acc + c.tan_impulse
     tan_impulse = c.tan_impulse * warmstart_coeff
@@ -263,35 +298,34 @@ def update(c: ContactConstraints, sb: SolverBodies, *, cfm_factor, inv_dt,
 
 
 def warmstart(c: ContactConstraints, sb: SolverBodies) -> SolverBodies:
-    """Apply cached impulses to body velocities.  Pure accumulation, so a
-    single scatter-add over ALL lanes is exact (no coloring needed)."""
-    act = (c.valid[:, None] & c.point_mask).astype(jnp.float32)
-    imp = c.impulse * act                                   # [P, 4]
-    imp_sum = jnp.sum(imp, axis=-1)                          # [P]
+    """Apply cached impulses to body velocities.  Pure accumulation, so one
+    matmul-scatter over ALL lanes is exact (no coloring needed)."""
+    act = c.valid[None, :] & c.point_mask             # [4, P]
+    imp = c.impulse * act.astype(jnp.float32)
+    imp_sum = jnp.sum(imp, axis=0)                    # [P]
 
-    dv1 = c.dir1 * c.im1 * imp_sum[:, None]
-    dw1 = jnp.sum(c.ii_torque_dir1 * imp[..., None], axis=1)
-    dv2 = -c.dir1 * c.im2 * imp_sum[:, None]
-    dw2 = jnp.sum(c.ii_torque_dir2 * imp[..., None], axis=1)
+    dv1 = c.dir1 * c.im1 * imp_sum[None]
+    dw1 = jnp.sum(c.ii_torque_dir1 * imp[:, None, :], axis=0)
+    dv2 = -c.dir1 * c.im2 * imp_sum[None]
+    dw2 = jnp.sum(c.ii_torque_dir2 * imp[:, None, :], axis=0)
 
-    # Friction warmstart (manifold-level).
     vmask = c.valid.astype(jnp.float32)
-    t2 = jnp.cross(c.dir1, c.tangent1)
-    ti = c.tan_impulse * vmask[:, None]
-    dv1 = dv1 + (c.tangent1 * ti[:, 0:1] + t2 * ti[:, 1:2]) * c.im1
-    dv2 = dv2 - (c.tangent1 * ti[:, 0:1] + t2 * ti[:, 1:2]) * c.im2
-    dw1 = dw1 + (
-        c.tan_ii_torque_dir1[:, 0] * ti[:, 0:1] + c.tan_ii_torque_dir1[:, 1] * ti[:, 1:2]
-    )
-    dw2 = dw2 + (
-        c.tan_ii_torque_dir2[:, 0] * ti[:, 0:1] + c.tan_ii_torque_dir2[:, 1] * ti[:, 1:2]
-    )
+    t2 = cross_cl(c.dir1, c.tangent1)
+    ti = c.tan_impulse * vmask[None]
+    tan_lin = c.tangent1 * ti[0][None] + t2 * ti[1][None]
+    dv1 = dv1 + tan_lin * c.im1
+    dv2 = dv2 - tan_lin * c.im2
+    dw1 = dw1 + c.tan_ii_torque_dir1[0] * ti[0][None] + c.tan_ii_torque_dir1[1] * ti[1][None]
+    dw2 = dw2 + c.tan_ii_torque_dir2[0] * ti[0][None] + c.tan_ii_torque_dir2[1] * ti[1][None]
     wi = c.twist_impulse * vmask
-    dw1 = dw1 + c.twist_ii_dir1 * wi[:, None]
-    dw2 = dw2 + c.twist_ii_dir2 * wi[:, None]
+    dw1 = dw1 + c.twist_ii_dir1 * wi[None]
+    dw2 = dw2 + c.twist_ii_dir2 * wi[None]
 
-    v_lin = sb.v_lin.at[c.b1].add(dv1).at[c.b2].add(dv2)
-    v_ang = sb.v_ang.at[c.b1].add(dw1).at[c.b2].add(dw2)
+    n1 = sb.v_lin.shape[1]
+    oh1 = _onehot(c.b1, n1)
+    oh2 = _onehot(c.b2, n1)
+    v_lin = sb.v_lin + dv1 @ oh1 + dv2 @ oh2
+    v_ang = sb.v_ang + dw1 @ oh1 + dw2 @ oh2
     return sb._replace(v_lin=v_lin, v_ang=v_ang)
 
 
@@ -302,15 +336,18 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, *,
     Mirrors ContactWithTwistFriction::solve
     (contact_with_twist_friction.rs:395-460): normal points sequentially, then
     the coupled tangent pair, then twist.  Lanes of one color share no dynamic
-    body, so the final scatter-add is conflict-free (= true Gauss-Seidel).
+    body, so the final matmul scatter-add is conflict-free (true Gauss-Seidel).
     """
     mask = c.valid & (c.color == color_id)
     fmask = mask.astype(jnp.float32)
 
-    v1 = sb.v_lin[c.b1]
-    w1 = sb.v_ang[c.b1]
-    v2 = sb.v_lin[c.b2]
-    w2 = sb.v_ang[c.b2]
+    n1 = sb.v_lin.shape[1]
+    oh1 = _onehot(c.b1, n1)
+    oh2 = _onehot(c.b2, n1)
+    v1 = _gather_cl(sb.v_lin, oh1)
+    w1 = _gather_cl(sb.v_ang, oh1)
+    v2 = _gather_cl(sb.v_lin, oh2)
+    w2 = _gather_cl(sb.v_ang, oh2)
     v1_0, w1_0, v2_0, w2_0 = v1, w1, v2, w2
 
     cfm = c.cfm_factor if use_bias else 1.0
@@ -319,78 +356,77 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, *,
     impulses = c.impulse
     # Normal parts, sequential over the (at most) 4 points.
     for k in range(4):
-        pm = (mask & c.point_mask[:, k]).astype(jnp.float32)
+        pm = (mask & c.point_mask[k]).astype(jnp.float32)
         dvel = (
-            _dot(c.dir1, v1) + _dot(c.torque_dir1[:, k], w1)
-            - _dot(c.dir1, v2) + _dot(c.torque_dir2[:, k], w2)
-            + rhs[:, k]
+            dot_cl(c.dir1, v1) + dot_cl(c.torque_dir1[k], w1)
+            - dot_cl(c.dir1, v2) + dot_cl(c.torque_dir2[k], w2)
+            + rhs[k]
         )
-        new_imp = cfm * jnp.maximum(impulses[:, k] - c.r[:, k] * dvel, 0.0)
-        dl = (new_imp - impulses[:, k]) * pm
-        impulses = impulses.at[:, k].set(impulses[:, k] + dl)
-        v1 = v1 + c.dir1 * c.im1 * dl[:, None]
-        w1 = w1 + c.ii_torque_dir1[:, k] * dl[:, None]
-        v2 = v2 - c.dir1 * c.im2 * dl[:, None]
-        w2 = w2 + c.ii_torque_dir2[:, k] * dl[:, None]
+        new_imp = cfm * jnp.maximum(impulses[k] - c.r[k] * dvel, 0.0)
+        dl = (new_imp - impulses[k]) * pm
+        impulses = impulses.at[k].add(dl)
+        v1 = v1 + c.dir1 * c.im1 * dl[None]
+        w1 = w1 + c.ii_torque_dir1[k] * dl[None]
+        v2 = v2 - c.dir1 * c.im2 * dl[None]
+        w2 = w2 + c.ii_torque_dir2[k] * dl[None]
 
     # Friction limits scale with the solved normal impulses
     # (contact_with_twist_friction.rs:430-445).
     act = c.point_mask.astype(jnp.float32)
-    tangent_limit = jnp.sum(impulses * act, axis=-1) * c.limit
-    twist_limit = jnp.sum(impulses * act * c.twist_dists, axis=-1) * c.limit
+    tangent_limit = jnp.sum(impulses * act, axis=0) * c.limit
+    twist_limit = jnp.sum(impulses * act * c.twist_dists, axis=0) * c.limit
 
     # Coupled 2D tangent solve (contact_constraint_element.rs:161-203).
-    t2 = jnp.cross(c.dir1, c.tangent1)
+    t2 = cross_cl(c.dir1, c.tangent1)
     tan_rhs = c.tan_rhs if use_bias else c.tan_rhs_wo_bias
     d0 = (
-        _dot(c.tangent1, v1) + _dot(c.tan_torque_dir1[:, 0], w1)
-        - _dot(c.tangent1, v2) + _dot(c.tan_torque_dir2[:, 0], w2)
-        + tan_rhs[:, 0]
+        dot_cl(c.tangent1, v1) + dot_cl(c.tan_torque_dir1[0], w1)
+        - dot_cl(c.tangent1, v2) + dot_cl(c.tan_torque_dir2[0], w2)
+        + tan_rhs[0]
     )
     d1 = (
-        _dot(t2, v1) + _dot(c.tan_torque_dir1[:, 1], w1)
-        - _dot(t2, v2) + _dot(c.tan_torque_dir2[:, 1], w2)
-        + tan_rhs[:, 1]
+        dot_cl(t2, v1) + dot_cl(c.tan_torque_dir1[1], w1)
+        - dot_cl(t2, v2) + dot_cl(c.tan_torque_dir2[1], w2)
+        + tan_rhs[1]
     )
     d00, d11, d01 = d0 * d0, d1 * d1, d0 * d1
-    denom = d00 * c.tan_r[:, 0] + d11 * c.tan_r[:, 1] + d01 * c.tan_r[:, 2]
+    denom = d00 * c.tan_r[0] + d11 * c.tan_r[1] + d01 * c.tan_r[2]
     inv_lhs = (d00 + d11) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    delta = jnp.stack([inv_lhs * d0, inv_lhs * d1], axis=-1)
-    new_t = c.tan_impulse - delta
-    # Cap magnitude at the friction limit.
-    t_norm = jnp.linalg.norm(new_t, axis=-1)
+    new_t0 = c.tan_impulse[0] - inv_lhs * d0
+    new_t1 = c.tan_impulse[1] - inv_lhs * d1
+    t_norm = jnp.sqrt(new_t0 * new_t0 + new_t1 * new_t1)
     scale = jnp.where(
         t_norm > tangent_limit, tangent_limit / jnp.maximum(t_norm, 1e-12), 1.0
     )
-    new_t = new_t * scale[:, None]
-    dl_t = (new_t - c.tan_impulse) * fmask[:, None]
+    new_t = jnp.stack([new_t0 * scale, new_t1 * scale])
+    dl_t = (new_t - c.tan_impulse) * fmask[None]
     tan_impulse = c.tan_impulse + dl_t
 
-    dvt = c.tangent1 * dl_t[:, 0:1] + t2 * dl_t[:, 1:2]
+    dvt = c.tangent1 * dl_t[0][None] + t2 * dl_t[1][None]
     v1 = v1 + dvt * c.im1
     v2 = v2 - dvt * c.im2
-    w1 = w1 + c.tan_ii_torque_dir1[:, 0] * dl_t[:, 0:1] + c.tan_ii_torque_dir1[:, 1] * dl_t[:, 1:2]
-    w2 = w2 + c.tan_ii_torque_dir2[:, 0] * dl_t[:, 0:1] + c.tan_ii_torque_dir2[:, 1] * dl_t[:, 1:2]
+    w1 = w1 + c.tan_ii_torque_dir1[0] * dl_t[0][None] + c.tan_ii_torque_dir1[1] * dl_t[1][None]
+    w2 = w2 + c.tan_ii_torque_dir2[0] * dl_t[0][None] + c.tan_ii_torque_dir2[1] * dl_t[1][None]
 
     # Twist (only meaningful with >= 2 points).
-    has_twist = jnp.sum(c.point_mask.astype(jnp.int32), axis=-1) > 1
-    dvel_tw = _dot(c.dir1, w1 - w2)   # twist dir == dir1; rhs == 0
+    has_twist = (jnp.sum(c.point_mask.astype(jnp.int32), axis=0) > 1).astype(jnp.float32)
+    dvel_tw = dot_cl(c.dir1, w1 - w2)
     new_tw = jnp.clip(
         c.twist_impulse - c.twist_r * dvel_tw, -twist_limit, twist_limit
     )
-    dl_tw = (new_tw - c.twist_impulse) * fmask * has_twist.astype(jnp.float32)
+    dl_tw = (new_tw - c.twist_impulse) * fmask * has_twist
     twist_impulse = c.twist_impulse + dl_tw
-    w1 = w1 + c.twist_ii_dir1 * dl_tw[:, None]
-    w2 = w2 + c.twist_ii_dir2 * dl_tw[:, None]
+    w1 = w1 + c.twist_ii_dir1 * dl_tw[None]
+    w2 = w2 + c.twist_ii_dir2 * dl_tw[None]
 
-    # Scatter velocity deltas (conflict-free within a color).
-    m3 = fmask[:, None]
-    v_lin = sb.v_lin.at[c.b1].add((v1 - v1_0) * m3).at[c.b2].add((v2 - v2_0) * m3)
-    v_ang = sb.v_ang.at[c.b1].add((w1 - w1_0) * m3).at[c.b2].add((w2 - w2_0) * m3)
+    # Matmul scatter of velocity deltas (conflict-free within a color).
+    m = fmask[None]
+    v_lin = sb.v_lin + ((v1 - v1_0) * m) @ oh1 + ((v2 - v2_0) * m) @ oh2
+    v_ang = sb.v_ang + ((w1 - w1_0) * m) @ oh1 + ((w2 - w2_0) * m) @ oh2
 
     c = c._replace(
-        impulse=jnp.where(mask[:, None], impulses, c.impulse),
-        tan_impulse=jnp.where(mask[:, None], tan_impulse, c.tan_impulse),
+        impulse=jnp.where(mask[None], impulses, c.impulse),
+        tan_impulse=jnp.where(mask[None], tan_impulse, c.tan_impulse),
         twist_impulse=jnp.where(mask, twist_impulse, c.twist_impulse),
     )
     return c, sb._replace(v_lin=v_lin, v_ang=v_ang)

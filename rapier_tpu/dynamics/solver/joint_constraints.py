@@ -114,10 +114,13 @@ def build_rows(joints, sb, color, params_dt, inv_dt, n_bodies: int) -> JointRows
     b2 = jnp.where(joints.body2 >= 0, joints.body2, sent)
     valid = joints.enabled & (joints.body1 >= 0) & (joints.body2 >= 0)
 
-    com1, rot1 = sb.com[b1], sb.rot[b1]
-    com2, rot2 = sb.com[b2], sb.rot[b2]
-    im1, im2 = sb.im[b1], sb.im[b2]
-    ii1, ii2 = sb.ii[b1], sb.ii[b2]
+    # SolverBodies are component-leading ([3, N+1]); joints keep row-major
+    # [J, ...] internally (J is small), so transpose at the boundary.
+    com1, rot1 = sb.com[:, b1].T, sb.rot[:, b1].T
+    com2, rot2 = sb.com[:, b2].T, sb.rot[:, b2].T
+    im1, im2 = sb.im[:, b1].T, sb.im[:, b2].T
+    ii1 = sb.ii[:, :, b1].transpose(2, 0, 1)
+    ii2 = sb.ii[:, :, b2].transpose(2, 0, 1)
 
     # Joint frames in world space.  Local frames are stored w.r.t. the body
     # origin; solver poses are at the COM, and the caller pre-shifted the
@@ -184,22 +187,36 @@ def build_rows(joints, sb, color, params_dt, inv_dt, n_bodies: int) -> JointRows
     limit_b = joints.limit_axes & ~locked_b
     coupled_b = joints.coupled_axes
 
+    # ±inf default limits poison sin()/arithmetic in rows that are computed
+    # but masked off — clamp to finite sentinels.
+    joints = joints.replace(
+        limit_min=jnp.clip(joints.limit_min, -1e9, 1e9),
+        limit_max=jnp.clip(joints.limit_max, -1e9, 1e9),
+        motor_max_force=jnp.clip(joints.motor_max_force, 0.0, 3.0e38),
+    )
+
     def bit(mask, i):
         return ((mask >> i) & 1) == 1
 
     def set_row(slot, lj, aj1, aj2, rwb, rb, cc, cg, lo_v, hi_v, act):
         nonlocal lin_jac, ang_jac1, ang_jac2, rhs_wo_bias, rhs_bias
         nonlocal cfm_coeff_rows, cfm_gain_rows, lo, hi, active
-        lin_jac = lin_jac.at[:, slot].set(lj)
-        ang_jac1 = ang_jac1.at[:, slot].set(aj1)
-        ang_jac2 = ang_jac2.at[:, slot].set(aj2)
-        rhs_wo_bias = rhs_wo_bias.at[:, slot].set(rwb)
-        rhs_bias = rhs_bias.at[:, slot].set(rb)
-        cfm_coeff_rows = cfm_coeff_rows.at[:, slot].set(cc)
-        cfm_gain_rows = cfm_gain_rows.at[:, slot].set(cg)
-        lo = lo.at[:, slot].set(lo_v)
-        hi = hi.at[:, slot].set(hi_v)
-        active = active.at[:, slot].set(act & valid)
+        # Zero inactive rows' payloads: their values may contain NaN/inf from
+        # unused limit/motor parameters and the Gram-Schmidt pass adds
+        # `x + NaN*0 = NaN` through active rows otherwise.
+        a = (act & valid)
+        af = a.astype(jnp.float32)[:, None]
+        clean = lambda x: jnp.where(jnp.isfinite(x), x, 0.0)
+        lin_jac = lin_jac.at[:, slot].set(clean(lj) * af)
+        ang_jac1 = ang_jac1.at[:, slot].set(clean(aj1) * af)
+        ang_jac2 = ang_jac2.at[:, slot].set(clean(aj2) * af)
+        rhs_wo_bias = rhs_wo_bias.at[:, slot].set(clean(rwb) * af[:, 0])
+        rhs_bias = rhs_bias.at[:, slot].set(clean(rb) * af[:, 0])
+        cfm_coeff_rows = cfm_coeff_rows.at[:, slot].set(clean(cc) * af[:, 0])
+        cfm_gain_rows = cfm_gain_rows.at[:, slot].set(clean(cg) * af[:, 0])
+        lo = lo.at[:, slot].set(jnp.where(a, jnp.maximum(lo_v, -_BIG), 0.0))
+        hi = hi.at[:, slot].set(jnp.where(a, jnp.minimum(hi_v, _BIG), 0.0))
+        active = active.at[:, slot].set(a)
 
     zero = jnp.zeros((j,))
 
@@ -404,13 +421,18 @@ def build_rows(joints, sb, color, params_dt, inv_dt, n_bodies: int) -> JointRows
 def solve_color(rows: JointRows, sb, color_id, *, use_bias: bool):
     """Sequentially solve all row slots of joints in one color
     (joint_velocity_constraint.rs:101-123 solve_generic)."""
+    from rapier_tpu.dynamics.solver.contact_constraints import _onehot
+
     mask = rows.valid & (rows.color == color_id)
     fmask = mask.astype(jnp.float32)
 
-    v1 = sb.v_lin[rows.b1]
-    w1 = sb.v_ang[rows.b1]
-    v2 = sb.v_lin[rows.b2]
-    w2 = sb.v_ang[rows.b2]
+    n1 = sb.v_lin.shape[1]
+    oh1 = _onehot(rows.b1, n1)
+    oh2 = _onehot(rows.b2, n1)
+    v1 = oh1 @ sb.v_lin.T
+    w1 = oh1 @ sb.v_ang.T
+    v2 = oh2 @ sb.v_lin.T
+    w2 = oh2 @ sb.v_ang.T
     v1_0, w1_0, v2_0, w2_0 = v1, w1, v2, w2
 
     impulse = rows.impulse
@@ -434,7 +456,7 @@ def solve_color(rows: JointRows, sb, color_id, *, use_bias: bool):
         w2 = w2 - rows.ii_ang_jac2[:, r] * dl[:, None]
 
     m3 = fmask[:, None]
-    v_lin = sb.v_lin.at[rows.b1].add((v1 - v1_0) * m3).at[rows.b2].add((v2 - v2_0) * m3)
-    v_ang = sb.v_ang.at[rows.b1].add((w1 - w1_0) * m3).at[rows.b2].add((w2 - w2_0) * m3)
+    v_lin = sb.v_lin + ((v1 - v1_0) * m3).T @ oh1 + ((v2 - v2_0) * m3).T @ oh2
+    v_ang = sb.v_ang + ((w1 - w1_0) * m3).T @ oh1 + ((w2 - w2_0) * m3).T @ oh2
     rows = rows._replace(impulse=jnp.where(mask[:, None], impulse, rows.impulse))
     return rows, sb._replace(v_lin=v_lin, v_ang=v_ang)

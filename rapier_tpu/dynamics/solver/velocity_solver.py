@@ -82,6 +82,7 @@ def make_solver_bodies(bodies, active, params: SimParams) -> cc.SolverBodies:
 
     Mirrors SolverBodies::copy_from (solver_body.rs:95-128): pose at COM,
     gyroscopic angular velocity, im/ii zeroed for non-dynamic bodies.
+    Component-leading layout ([3, N+1], see contact_constraints docstring).
     """
     n = bodies.n
     im = effective_inv_mass(bodies, active)
@@ -96,37 +97,41 @@ def make_solver_bodies(bodies, active, params: SimParams) -> cc.SolverBodies:
     v_lin = jnp.where(moving[:, None], bodies.linvel, 0.0)
     v_ang = jnp.where(moving[:, None], angvel, 0.0)
 
+    def cl(x, pad_row):
+        return jnp.concatenate([x, pad_row]).T
+
     pad3 = jnp.zeros((1, 3))
     return cc.SolverBodies(
-        v_lin=jnp.concatenate([v_lin, pad3]),
-        v_ang=jnp.concatenate([v_ang, pad3]),
-        com=jnp.concatenate([com, pad3]),
-        rot=jnp.concatenate([bodies.rot, jnp.array([[0.0, 0.0, 0.0, 1.0]])]),
-        im=jnp.concatenate([im, pad3]),
-        ii=jnp.concatenate([ii, jnp.zeros((1, 3, 3))]),
+        v_lin=cl(v_lin, pad3),
+        v_ang=cl(v_ang, pad3),
+        com=cl(com, pad3),
+        rot=cl(bodies.rot, jnp.array([[0.0, 0.0, 0.0, 1.0]])),
+        im=cl(im, pad3),
+        ii=jnp.concatenate([ii, jnp.zeros((1, 3, 3))]).transpose(1, 2, 0),
     )
 
 
 def velocity_increments(bodies, sb: cc.SolverBodies, active, params, dt_sub):
     """Per-substep external velocity increments (gravity + persistent forces),
-    reference velocity_solver.rs:115-122."""
+    reference velocity_solver.rs:115-122.  Returns CL [3, N+1] arrays."""
     dyn = active & (bodies.body_type == BodyType.DYNAMIC)
-    im = sb.im[:-1]
+    im = sb.im[:, :-1].T          # [N, 3]
     unlocked = (im > 0).astype(jnp.float32)
     grav = params.gravity[None, :] * bodies.gravity_scale[:, None] * unlocked
     dv = (grav + bodies.force * im) * dt_sub
-    dw = jnp.einsum("nij,nj->ni", sb.ii[:-1], bodies.torque) * dt_sub
+    dw = jnp.einsum("ijn,nj->ni", sb.ii[:, :, :-1], bodies.torque) * dt_sub
     dv = jnp.where(dyn[:, None], dv, 0.0)
     dw = jnp.where(dyn[:, None], dw, 0.0)
     pad = jnp.zeros((1, 3))
-    return jnp.concatenate([dv, pad]), jnp.concatenate([dw, pad])
+    return (jnp.concatenate([dv, pad]).T, jnp.concatenate([dw, pad]).T)
 
 
 def integrate_poses(sb: cc.SolverBodies, move_mask, dt_sub) -> cc.SolverBodies:
-    """Linearized pose integration (velocity_solver.rs:213-238)."""
-    com = sb.com + jnp.where(move_mask[:, None], sb.v_lin * dt_sub, 0.0)
-    rot_new = quat.integrate_linearized(sb.rot, sb.v_ang, dt_sub)
-    rot = jnp.where(move_mask[:, None], rot_new, sb.rot)
+    """Linearized pose integration (velocity_solver.rs:213-238). CL layout:
+    move_mask [N+1]."""
+    com = sb.com + jnp.where(move_mask[None], sb.v_lin * dt_sub, 0.0)
+    rot_new = quat.integrate_linearized_cl(sb.rot, sb.v_ang, dt_sub)
+    rot = jnp.where(move_mask[None], rot_new, sb.rot)
     return sb._replace(com=com, rot=rot)
 
 
@@ -209,12 +214,14 @@ def writeback(bodies, sb: cc.SolverBodies, active, params: SimParams):
     dyn = active & (bodies.body_type == BodyType.DYNAMIC)
     lin_f = 1.0 / (1.0 + params.dt * bodies.linear_damping)
     ang_f = 1.0 / (1.0 + params.dt * bodies.angular_damping)
-    linvel = jnp.where(dyn[:, None], sb.v_lin[:-1] * lin_f[:, None], bodies.linvel)
-    angvel = jnp.where(dyn[:, None], sb.v_ang[:-1] * ang_f[:, None], bodies.angvel)
+    sb_vlin = sb.v_lin[:, :-1].T   # back to row-major [N, 3]
+    sb_vang = sb.v_ang[:, :-1].T
+    linvel = jnp.where(dyn[:, None], sb_vlin * lin_f[:, None], bodies.linvel)
+    angvel = jnp.where(dyn[:, None], sb_vang * ang_f[:, None], bodies.angvel)
 
     # next pose: body origin = com - R * local_com.
-    rot = sb.rot[:-1]
-    pos = sb.com[:-1] - quat.rotate(rot, bodies.local_com)
+    rot = sb.rot[:, :-1].T
+    pos = sb.com[:, :-1].T - quat.rotate(rot, bodies.local_com)
     move = active & (
         (bodies.body_type == BodyType.DYNAMIC)
         | (bodies.body_type == BodyType.KINEMATIC_VELOCITY_BASED)

@@ -54,18 +54,14 @@ def _compact_pairs(c1, c2, mask, max_pairs):
     """Compact masked candidate pairs into a fixed [P] buffer.
 
     Deterministic: preserves candidate order.  Overflowing pairs are dropped
-    and counted (graceful degradation per SURVEY §7 hard-part #1).
+    and counted (graceful degradation per SURVEY §7 hard-part #1).  Uses the
+    gather-based compaction (utils/compaction.py) — no TPU scatters.
     """
-    slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    total = jnp.sum(mask.astype(jnp.int32))
-    keep = mask & (slot < max_pairs)
-    out1 = jnp.full((max_pairs,), -1, jnp.int32)
-    out2 = jnp.full((max_pairs,), -1, jnp.int32)
-    tgt = jnp.where(keep, slot, max_pairs)  # dropped -> scatter to OOB (no-op)
-    out1 = out1.at[tgt].set(c1.astype(jnp.int32), mode="drop")
-    out2 = out2.at[tgt].set(c2.astype(jnp.int32), mode="drop")
-    valid = jnp.arange(max_pairs) < jnp.minimum(total, max_pairs)
-    overflow = jnp.maximum(total - max_pairs, 0)
+    from rapier_tpu.utils.compaction import compact_indices
+
+    src, valid, overflow = compact_indices(mask, max_pairs)
+    out1 = jnp.where(valid, jnp.asarray(c1, jnp.int32)[src], -1)
+    out2 = jnp.where(valid, jnp.asarray(c2, jnp.int32)[src], -1)
     return out1, out2, valid, overflow
 
 
@@ -78,14 +74,44 @@ def _triu_indices(c: int):
 
 
 def find_pairs_all(mins, maxs, colliders, body_type, max_pairs: int):
-    """All-pairs O(C^2) broad phase. Right choice for C <~ 256."""
+    """All-pairs O(C^2) broad phase, fully dense (no gathers: TPU batched
+    gathers are slow; [C, C] broadcasting is pure VPU work).
+    Right choice for C <~ 512."""
     c = mins.shape[0]
-    i, j = _triu_indices(c)
     overlap = jnp.all(
-        (mins[i] <= maxs[j]) & (mins[j] <= maxs[i]), axis=-1
+        (mins[:, None, :] <= maxs[None, :, :])
+        & (mins[None, :, :] <= maxs[:, None, :]),
+        axis=-1,
+    )                                               # [C, C]
+
+    enabled = colliders.enabled
+    parent = colliders.parent
+    safe_p = jnp.maximum(parent, 0)
+    bt = jnp.where(parent >= 0, body_type[safe_p], int(BodyType.FIXED))
+    dyn = bt == BodyType.DYNAMIC
+    g = colliders.collision_groups
+    m, f = g >> 16, g & 0xFFFF
+
+    ok = (
+        overlap
+        & (enabled[:, None] & enabled[None, :])
+        & ~((parent[:, None] == parent[None, :]) & (parent[:, None] >= 0))
+        & (dyn[:, None] | dyn[None, :])
+        & ((m[:, None] & f[None, :]) != 0)
+        & ((m[None, :] & f[:, None]) != 0)
     )
-    mask = overlap & _pair_filter_mask(i, j, colliders, body_type)
-    return _compact_pairs(i, j, mask, max_pairs)
+    # Upper triangle only.
+    idx = jnp.arange(c)
+    ok = ok & (idx[:, None] < idx[None, :])
+
+    # Compact the flattened [C*C] mask; candidate indices derive
+    # arithmetically from the compacted position (no index tables).
+    from rapier_tpu.utils.compaction import compact_indices
+
+    src, valid, overflow = compact_indices(ok.reshape(-1), max_pairs)
+    out1 = jnp.where(valid, src // c, -1)
+    out2 = jnp.where(valid, src % c, -1)
+    return out1, out2, valid, overflow
 
 
 def find_pairs_sap(mins, maxs, colliders, body_type, max_pairs: int, window: int):

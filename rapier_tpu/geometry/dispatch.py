@@ -25,6 +25,11 @@ class ManifoldBatch(NamedTuple):
 
     collider1: jax.Array   # [P] int32
     collider2: jax.Array   # [P] int32
+    # OR of the two colliders' event/hook flags and min force threshold
+    # (staged here so the pipeline needs no further collider gathers).
+    active_events_or: jax.Array  # [P] int32
+    active_hooks_or: jax.Array   # [P] int32
+    force_threshold: jax.Array   # [P] f32
     body1: jax.Array       # [P] int32 (-1 = static environment)
     body2: jax.Array       # [P] int32
     pair_key: jax.Array    # [P] int32 (c1 * C + c2, c1 < c2; -1 invalid)
@@ -118,20 +123,60 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
       prediction: scalar prediction distance.
     """
     P = c1.shape[0]
+    n_coll = colliders.parent.shape[0]
     w_pos, w_rot = collider_world_poses(bodies, colliders)
 
     s1 = jnp.maximum(c1, 0)
     s2 = jnp.maximum(c2, 0)
-    t1 = colliders.shape_type[s1]
-    t2 = colliders.shape_type[s2]
 
+    # --- staged collider table: ALL per-pair collider lookups become two
+    # one-hot matmuls (TPU batched gathers are ~1GB/s; the MXU isn't) ---
+    f32 = jnp.float32
+    parent = colliders.parent
+    safe_p = jnp.maximum(parent, 0)
+    bt_c = jnp.where(parent >= 0, bodies.body_type[safe_p], int(BodyType.FIXED))
+    dom_c = jnp.where(
+        bt_c == BodyType.DYNAMIC, bodies.dominance[safe_p], 127
+    )
+    sg = colliders.solver_groups
+    cols = jnp.concatenate([
+        w_pos,                                              # 0:3
+        w_rot,                                              # 3:7
+        colliders.shape_params,                             # 7:19
+        colliders.shape_type[:, None].astype(f32),          # 19
+        colliders.friction[:, None],                        # 20
+        colliders.restitution[:, None],                     # 21
+        colliders.friction_combine[:, None].astype(f32),    # 22
+        colliders.restitution_combine[:, None].astype(f32), # 23
+        colliders.contact_skin[:, None],                    # 24
+        colliders.sensor[:, None].astype(f32),              # 25
+        (sg >> 16).astype(f32)[:, None],                    # 26
+        (sg & 0xFFFF).astype(f32)[:, None],                 # 27
+        parent[:, None].astype(f32),                        # 28
+        dom_c[:, None].astype(f32),                         # 29
+        colliders.active_events[:, None].astype(f32),       # 30
+        colliders.active_hooks[:, None].astype(f32),        # 31
+        # inf would poison the one-hot matmul (0*inf = NaN): clamp.
+        jnp.minimum(colliders.contact_force_event_threshold, 3.0e38)[:, None],  # 32
+    ], axis=1)
+
+    ids_c = jnp.arange(n_coll)
+    oh_s1 = (s1[:, None] == ids_c[None, :]).astype(f32)
+    oh_s2 = (s2[:, None] == ids_c[None, :]).astype(f32)
+    T1 = oh_s1 @ cols
+    T2 = oh_s2 @ cols
+
+    t1 = T1[:, 19].astype(jnp.int32)
+    t2 = T2[:, 19].astype(jnp.int32)
     flip = _order_rank(t1) > _order_rank(t2)
+    TA = jnp.where(flip[:, None], T2, T1)
+    TB = jnp.where(flip[:, None], T1, T2)
     cA = jnp.where(flip, s2, s1)
     cB = jnp.where(flip, s1, s2)
-    tA = colliders.shape_type[cA]
-    tB = colliders.shape_type[cB]
-    pA, rA, prmA = w_pos[cA], w_rot[cA], colliders.shape_params[cA]
-    pB, rB, prmB = w_pos[cB], w_rot[cB], colliders.shape_params[cB]
+    tA = TA[:, 19].astype(jnp.int32)
+    tB = TB[:, 19].astype(jnp.int32)
+    pA, rA, prmA = TA[:, 0:3], TA[:, 3:7], TA[:, 7:19]
+    pB, rB, prmB = TB[:, 0:3], TB[:, 3:7], TB[:, 7:19]
 
     # Run every kernel on every lane; select by type mask.
     normal = jnp.zeros((P, 3)).at[:, 1].set(1.0)
@@ -190,48 +235,47 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
     normal = jnp.where(flip[:, None], -normal, normal)
 
     # Effective distance: subtract contact skins (reference
-    # narrow_phase.rs:1033 effective_contact_dist).
-    skins = colliders.contact_skin[s1] + colliders.contact_skin[s2]
+    # narrow_phase.rs:1033 effective_contact_dist).  All material/body fields
+    # read from the staged tables (no gathers).
+    skins = T1[:, 24] + T2[:, 24]
     dist = dist - skins[:, None]
 
     point_active = pvalid & (dist < prediction)
-    touching = pair_valid & jnp.any(pvalid & (dist <= 0.0), axis=-1)
+    # "Touching" mirrors the reference's has_any_active_contact: the pair has
+    # solver contacts (within prediction).  Using dist <= 0 here flickers at
+    # the soft-constraint slop boundary and spuriously wakes sleeping stacks.
+    touching = pair_valid & jnp.any(point_active, axis=-1)
 
     # Material combination.
     friction = _combine_material(
-        colliders.friction[s1], colliders.friction[s2],
-        colliders.friction_combine[s1], colliders.friction_combine[s2],
+        T1[:, 20], T2[:, 20],
+        T1[:, 22].astype(jnp.int32), T2[:, 22].astype(jnp.int32),
     )
     restitution = _combine_material(
-        colliders.restitution[s1], colliders.restitution[s2],
-        colliders.restitution_combine[s1], colliders.restitution_combine[s2],
+        T1[:, 21], T2[:, 21],
+        T1[:, 23].astype(jnp.int32), T2[:, 23].astype(jnp.int32),
     )
 
-    # Bodies + dominance.
-    b1 = jnp.where(pair_valid, colliders.parent[s1], -1)
-    b2 = jnp.where(pair_valid, colliders.parent[s2], -1)
-    bt1 = jnp.where(b1 >= 0, bodies.body_type[jnp.maximum(b1, 0)], int(BodyType.FIXED))
-    bt2 = jnp.where(b2 >= 0, bodies.body_type[jnp.maximum(b2, 0)], int(BodyType.FIXED))
-    dom1 = jnp.where(bt1 == BodyType.DYNAMIC,
-                     bodies.dominance[jnp.maximum(b1, 0)], 127)
-    dom2 = jnp.where(bt2 == BodyType.DYNAMIC,
-                     bodies.dominance[jnp.maximum(b2, 0)], 127)
-    rel_dom = jnp.where(b1 >= 0, dom1, 127) - jnp.where(b2 >= 0, dom2, 127)
+    # Bodies + dominance (staged columns: parent 28, effective dominance 29).
+    b1 = jnp.where(pair_valid, T1[:, 28].astype(jnp.int32), -1)
+    b2 = jnp.where(pair_valid, T2[:, 28].astype(jnp.int32), -1)
+    dom1 = jnp.where(b1 >= 0, T1[:, 29], 127.0)
+    dom2 = jnp.where(b2 >= 0, T2[:, 29], 127.0)
+    rel_dom = (dom1 - dom2).astype(jnp.int32)
 
     # Sensor pairs & solver-group filter never reach the solver (reference
     # narrow_phase.rs: intersections graph vs contacts graph; SolverFlags).
-    sensor = colliders.sensor[s1] | colliders.sensor[s2]
-    sg1 = colliders.solver_groups[s1]
-    sg2 = colliders.solver_groups[s2]
-    m1, f1 = sg1 >> 16, sg1 & 0xFFFF
-    m2, f2 = sg2 >> 16, sg2 & 0xFFFF
-    solver_groups_ok = ((m1 & f2) != 0) & ((m2 & f1) != 0)
+    sensor = (T1[:, 25] + T2[:, 25]) > 0
+    m1g = T1[:, 26].astype(jnp.int32)
+    f1g = T1[:, 27].astype(jnp.int32)
+    m2g = T2[:, 26].astype(jnp.int32)
+    f2g = T2[:, 27].astype(jnp.int32)
+    solver_groups_ok = ((m1g & f2g) != 0) & ((m2g & f1g) != 0)
     solver_pair = (
         pair_valid & matched & ~sensor & solver_groups_ok
         & jnp.any(point_active, axis=-1)
     )
 
-    n_coll = colliders.parent.shape[0]
     pair_key = jnp.where(pair_valid, s1 * n_coll + s2, -1)
 
     # Mesh pairs are handled by compute_mesh_manifolds; drop them here.
@@ -243,6 +287,13 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
     return ManifoldBatch(
         collider1=jnp.where(pair_valid, s1, -1),
         collider2=jnp.where(pair_valid, s2, -1),
+        active_events_or=(
+            T1[:, 30].astype(jnp.int32) | T2[:, 30].astype(jnp.int32)
+        ),
+        active_hooks_or=(
+            T1[:, 31].astype(jnp.int32) | T2[:, 31].astype(jnp.int32)
+        ),
+        force_threshold=jnp.minimum(T1[:, 32], T2[:, 32]),
         body1=b1, body2=b2, pair_key=pair_key,
         normal=normal, point=point, dist=dist, fid=fid,
         point_valid=pvalid & pair_valid[:, None],
@@ -280,15 +331,12 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
 
     # Compact mesh pairs: convex side cA, mesh side cM; flip marks the mesh
     # being collider1 of the original pair.
-    slot = jnp.cumsum(is_mesh_pair.astype(jnp.int32)) - 1
-    keep = is_mesh_pair & (slot < pm)
-    tgt = jnp.where(keep, slot, pm)
-    cA = jnp.full((pm,), 0, jnp.int32).at[tgt].set(
-        jnp.where(m1, s2, s1), mode="drop")
-    cM = jnp.full((pm,), 0, jnp.int32).at[tgt].set(
-        jnp.where(m1, s1, s2), mode="drop")
-    flip = jnp.zeros((pm,), bool).at[tgt].set(m1, mode="drop")
-    lane_valid = jnp.zeros((pm,), bool).at[tgt].set(keep, mode="drop")
+    from rapier_tpu.utils.compaction import compact_indices
+
+    src, lane_valid, _ovf = compact_indices(is_mesh_pair, pm)
+    cA = jnp.where(lane_valid, jnp.where(m1, s2, s1)[src], 0)
+    cM = jnp.where(lane_valid, jnp.where(m1, s1, s2)[src], 0)
+    flip = lane_valid & m1[src]
 
     # --- mid-phase: rank triangles by AABB overlap with the convex (in the
     # mesh collider's local frame) ---
@@ -378,7 +426,7 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
     dist = dist - skins[:, None]
     pvalid = pvalid & lane_ok[:, None]
     point_active = pvalid & (dist < prediction)
-    touching = lane_ok & jnp.any(pvalid & (dist <= 0.0), axis=-1)
+    touching = lane_ok & jnp.any(point_active, axis=-1)
 
     lo_c = jnp.where(lane_flip, lane_cM, lane_cA)
     hi_c = jnp.where(lane_flip, lane_cA, lane_cM)
@@ -416,6 +464,16 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
     return ManifoldBatch(
         collider1=jnp.where(lane_ok, lo_c, -1),
         collider2=jnp.where(lane_ok, hi_c, -1),
+        active_events_or=(
+            colliders.active_events[lo_c] | colliders.active_events[hi_c]
+        ),
+        active_hooks_or=(
+            colliders.active_hooks[lo_c] | colliders.active_hooks[hi_c]
+        ),
+        force_threshold=jnp.minimum(
+            colliders.contact_force_event_threshold[lo_c],
+            colliders.contact_force_event_threshold[hi_c],
+        ),
         body1=b1, body2=b2, pair_key=pair_key,
         normal=normal, point=point, dist=dist, fid=fid,
         point_valid=pvalid, point_active=point_active,

@@ -201,14 +201,16 @@ def _point_box_signed(p_local, h):
     inside = d_out < 1e-12
 
     # Inside: distance to closest face (negative), normal = face outward.
+    # One-hot arithmetic (no computed-index updates: slow scatters on TPU).
     face_d = h - jnp.abs(p_local)  # >= 0 inside
     ax = jnp.argmin(face_d)
-    sgn = jnp.sign(p_local[ax] + 1e-30)
-    n_in = jnp.zeros(3).at[ax].set(jnp.where(sgn == 0, 1.0, sgn))
-    surf_in = p_local.at[ax].set(jnp.where(sgn >= 0, h[ax], -h[ax]))
+    oh = (jnp.arange(3) == ax).astype(p_local.dtype)
+    sgn = jnp.where(jnp.sum(oh * p_local) >= 0, 1.0, -1.0)
+    n_in = oh * sgn
+    surf_in = p_local * (1.0 - oh) + oh * sgn * h
 
     n_out = outside_vec / jnp.maximum(d_out, 1e-12)
-    dist = jnp.where(inside, -face_d[ax], d_out)
+    dist = jnp.where(inside, -jnp.min(face_d), d_out)
     n = jnp.where(inside, n_in, n_out)
     surf = jnp.where(inside, surf_in, q)
     return dist, n, surf
@@ -267,11 +269,18 @@ def capsule_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
 
     m = _empty_manifold()
     # Pick best (deepest) as primary; add endpoints as extra points if they are
-    # nearly as deep (lying-on-face case), after deduplication.
-    order = jnp.argsort(dists)
-    primary = order[0]
-    n_box_out = quat.rotate(rB, normals_l[primary])
-    n = -n_box_out
+    # nearly as deep (lying-on-face case), after deduplication.  All candidate
+    # selection by one-hot ranks (per-lane gathers batch terribly on TPU).
+    idx3 = jnp.arange(3)
+    rank = jnp.sum(
+        (dists[None, :] < dists[:, None])
+        | ((dists[None, :] == dists[:, None]) & (idx3[None, :] < idx3[:, None])),
+        axis=1,
+    )  # rank[i] = position of candidate i in ascending order
+    oh_rank = (rank[None, :] == idx3[:, None]).astype(dists.dtype)  # [slot, cand]
+
+    n_prim_l = oh_rank[0] @ normals_l
+    n = -quat.rotate(rB, n_prim_l)
 
     def mk_point(i):
         surf_w = quat.transform_point(pB, rB, surfs_l[i])
@@ -279,21 +288,22 @@ def capsule_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
         s_cap = p_w + n * rad
         return 0.5 * (s_cap + surf_w)
 
-    pts_w = jax.vmap(mk_point)(jnp.arange(3))
+    pts_w = jax.vmap(mk_point)(idx3)
+    pts_sorted = oh_rank @ pts_w            # [3, 3] slot-ordered points
+    dists_sorted = oh_rank @ dists
+    nrm_dot = oh_rank @ (normals_l @ n_prim_l)   # agreement with primary
+    fid_sorted = jnp.sum(oh_rank * idx3[None, :].astype(dists.dtype), axis=1)
 
-    # Candidate k writes slot k (static); dedup/normal-agreement only masks.
     for k in range(3):
-        i = order[k]
-        same_n = jnp.dot(normals_l[i], normals_l[primary]) > 0.98
+        same_n = nrm_dot[k] > 0.98
         dup = jnp.zeros((), bool)
         for prev in range(k):
-            j = order[prev]
-            dup = dup | (jnp.linalg.norm(pts_w[i] - pts_w[j]) < 1e-5)
+            dup = dup | (jnp.linalg.norm(pts_sorted[k] - pts_sorted[prev]) < 1e-5)
         keep = same_n & ~dup
         m = m._replace(
-            point=m.point.at[k].set(pts_w[i]),
-            dist=m.dist.at[k].set(jnp.where(keep, dists[i], 1e10)),
-            fid=m.fid.at[k].set(i.astype(jnp.int32)),
+            point=m.point.at[k].set(pts_sorted[k]),
+            dist=m.dist.at[k].set(jnp.where(keep, dists_sorted[k], 1e10)),
+            fid=m.fid.at[k].set(fid_sorted[k].astype(jnp.int32)),
             valid=m.valid.at[k].set(keep),
         )
     m = m._replace(normal=n)

@@ -21,8 +21,12 @@ from rapier_tpu.geometry.narrowphase import (
     _empty_manifold,
 )
 
-_EDGE_BIAS_REL = 0.98
-_EDGE_BIAS_ABS = 1.0e-4
+# Face contacts are strongly preferred: at near-tie separations (resting
+# stacks) the edge/face and refA/refB choices must not flip-flop frame to
+# frame, or warmstart matching breaks and stacks jitter awake.  Absolute
+# hysteresis margins scaled by the smaller box extent.
+_EDGE_BIAS_ABS = 1.0e-2
+_REF_FACE_BIAS_ABS = 2.0e-3
 
 
 def _clip_quad(verts_uvd, ids, hu, hv):
@@ -45,7 +49,11 @@ def _clip_quad(verts_uvd, ids, hu, hv):
         valid = k < count
         nxt = jnp.where(k + 1 >= count, 0, k + 1)
         v_cur = buf
-        v_nxt = buf[nxt]
+        # buf[nxt] via an 8x8 selection matmul: per-lane dynamic gathers
+        # batch terribly on TPU (~1GB/s), tiny matmuls don't.
+        sel_nxt = (nxt[:, None] == k[None, :]).astype(buf.dtype)
+        v_nxt = sel_nxt @ buf
+        id_nxt = jnp.sum(sel_nxt.astype(jnp.int32) * idb[None, :], axis=1)
         d_cur = v_cur[:, 0] * nrm[0] + v_cur[:, 1] * nrm[1] - off
         d_nxt = v_nxt[:, 0] * nrm[0] + v_nxt[:, 1] * nrm[1] - off
         in_cur = d_cur <= 0.0
@@ -58,25 +66,32 @@ def _clip_quad(verts_uvd, ids, hu, hv):
         s = jnp.clip(s, 0.0, 1.0)
         v_x = v_cur + (v_nxt - v_cur) * s[:, None]
         id_x = (
-            jnp.minimum(idb, idb[nxt]) * 131
-            + jnp.maximum(idb, idb[nxt]) * 31
+            jnp.minimum(idb, id_nxt) * 131
+            + jnp.maximum(idb, id_nxt) * 31
             + pidx * 7919
         ) & 0x7FFFFF
 
         cnt_k = emit_cur.astype(jnp.int32) + emit_x.astype(jnp.int32)
         offs = jnp.cumsum(cnt_k) - cnt_k
 
-        new_buf = jnp.zeros((8, 3))
-        new_ids = jnp.full((8,), -1, jnp.int32)
-        t_cur = jnp.where(emit_cur, offs, 8)
-        new_buf = new_buf.at[t_cur].set(v_cur, mode="drop")
-        new_ids = new_ids.at[t_cur].set(idb, mode="drop")
-        t_x = jnp.where(emit_x, offs + emit_cur.astype(jnp.int32), 8)
-        new_buf = new_buf.at[t_x].set(v_x, mode="drop")
-        new_ids = new_ids.at[t_x].set(id_x, mode="drop")
-
-        buf = new_buf
-        idb = new_ids
+        # Scatter-free compaction: output slot j selects its source edge via
+        # an 8x8 selection matrix (TPU scatters with computed indices are
+        # catastrophically slow; this is a tiny einsum instead).
+        j_idx = k[:, None]
+        sel_cur = emit_cur[None, :] & (j_idx == offs[None, :])
+        sel_x = emit_x[None, :] & (
+            j_idx == (offs + emit_cur.astype(jnp.int32))[None, :]
+        )
+        w_cur = sel_cur.astype(buf.dtype)
+        w_x = sel_x.astype(buf.dtype)
+        buf = w_cur @ v_cur + w_x @ v_x
+        has = jnp.any(sel_cur | sel_x, axis=1)
+        idb = jnp.where(
+            has,
+            jnp.sum(sel_cur * idb[None, :] + sel_x * id_x[None, :], axis=1,
+                    dtype=jnp.int32),
+            -1,
+        )
         count = jnp.sum(cnt_k)
 
     return buf, idb, count
@@ -90,30 +105,40 @@ def _reduce_to_4(pts_uvd, ids, count):
     valid = k < count
     big = 1e10
 
+    def pick(i):
+        """One-hot row selection (no per-lane gather)."""
+        oh = (k == i).astype(pts_uvd.dtype)
+        return oh @ pts_uvd, jnp.sum(oh.astype(jnp.int32) * ids), oh @ valid.astype(pts_uvd.dtype) > 0
+
     depth = jnp.where(valid, pts_uvd[:, 2], big)
     i0 = jnp.argmin(depth)
-    p0 = pts_uvd[i0, :2]
+    r0, id0, v0 = pick(i0)
+    p0 = r0[:2]
 
     d_from0 = jnp.where(valid, jnp.sum((pts_uvd[:, :2] - p0) ** 2, axis=-1), -big)
     i1 = jnp.argmax(d_from0)
-    p1 = pts_uvd[i1, :2]
+    r1, id1, v1 = pick(i1)
+    p1 = r1[:2]
 
     base = p1 - p0
     perp = jnp.array([-base[1], base[0]])
     side = jnp.einsum("kj,j->k", pts_uvd[:, :2] - p0, perp)
-    side_masked_hi = jnp.where(valid, side, -big)
-    side_masked_lo = jnp.where(valid, side, big)
-    i2 = jnp.argmax(side_masked_hi)
-    i3 = jnp.argmin(side_masked_lo)
+    i2 = jnp.argmax(jnp.where(valid, side, -big))
+    i3 = jnp.argmin(jnp.where(valid, side, big))
+    r2, id2, v2 = pick(i2)
+    r3, id3, v3 = pick(i3)
 
     sel = jnp.stack([i0, i1, i2, i3])
+    out_pts = jnp.stack([r0, r1, r2, r3])
+    out_ids = jnp.stack([id0, id1, id2, id3])
+    out_valid = jnp.stack([v0, v1, v2, v3])
     # Mask duplicate selections (e.g. count < 4).
     keep = jnp.ones((MAXP,), bool)
     for a in range(MAXP):
         for b in range(a):
             keep = keep.at[a].set(keep[a] & (sel[a] != sel[b]))
-        keep = keep.at[a].set(keep[a] & valid[sel[a]])
-    return pts_uvd[sel], ids[sel], keep
+        keep = keep.at[a].set(keep[a] & out_valid[a])
+    return out_pts, out_ids, keep
 
 
 def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
@@ -133,8 +158,8 @@ def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
 
     best_a = jnp.argmax(sep_a)
     best_b = jnp.argmax(sep_b)
-    sep_a_best = sep_a[best_a]
-    sep_b_best = sep_b[best_b]
+    sep_a_best = jnp.max(sep_a)
+    sep_b_best = jnp.max(sep_b)
 
     # --- edge axes e_i x R[:,j] ---
     scale = jnp.minimum(jnp.min(hA), jnp.min(hB))
@@ -158,11 +183,12 @@ def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
 
     e_flat = edge_sep.reshape(9)
     best_e = jnp.argmax(e_flat)
-    sep_e_best = e_flat[best_e]
+    sep_e_best = jnp.max(e_flat)
+    oh_e = (jnp.arange(9) == best_e).astype(jnp.float32)
 
     face_best = jnp.maximum(sep_a_best, sep_b_best)
-    use_edge = sep_e_best > face_best * _EDGE_BIAS_REL + _EDGE_BIAS_ABS * scale
-    use_b_face = sep_b_best > sep_a_best * _EDGE_BIAS_REL + _EDGE_BIAS_ABS * scale
+    use_edge = sep_e_best > face_best + _EDGE_BIAS_ABS * scale
+    use_b_face = sep_b_best > sep_a_best + _REF_FACE_BIAS_ABS * scale
 
     # =====================================================================
     # Face-face manifold: computed for both (ref=A) and (ref=B), selected.
@@ -242,15 +268,36 @@ def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     n_face = jnp.where(use_b_face, nB_w, nA_w)
     mid_face = jnp.where(use_b_face, midB_w, midA_w)
     dist_face = jnp.where(use_b_face, distB, distA)
-    fid_face = jnp.where(use_b_face, fidB, fidA)
     keep_face = jnp.where(use_b_face, keepB, keepA)
+
+    # Reference-independent feature ids: quadrant of each contact point around
+    # the manifold centroid in a basis derived from the (A->B stable) normal.
+    # Clip-provenance ids flip when the reference face flips between the two
+    # boxes at near-tie separations, losing warmstart and making stacks drift;
+    # quadrant ids survive those flips.
+    t1f = jnp.cross(n_face, jnp.array([1.0, 0.0, 0.0]))
+    t1f_alt = jnp.cross(n_face, jnp.array([0.0, 1.0, 0.0]))
+    t1f = jnp.where(jnp.sum(t1f * t1f) < 1e-6, t1f_alt, t1f)
+    t1f = t1f / jnp.maximum(jnp.linalg.norm(t1f), 1e-9)
+    t2f = jnp.cross(n_face, t1f)
+    nkeep = jnp.maximum(jnp.sum(keep_face.astype(jnp.float32)), 1.0)
+    centroid = jnp.sum(mid_face * keep_face[:, None], axis=0) / nkeep
+    du = (mid_face - centroid) @ t1f
+    dv = (mid_face - centroid) @ t2f
+    fid_face = (
+        (du > 0).astype(jnp.int32)
+        + 2 * (dv > 0).astype(jnp.int32)
+        # Distinguish near-axis points when the manifold is a 2-point edge
+        # strip: add a coarse secondary bit from the larger offset.
+        + 4 * (jnp.abs(du) > jnp.abs(dv)).astype(jnp.int32)
+    )
 
     # =====================================================================
     # Edge-edge manifold.
     # =====================================================================
     ei = best_e // 3
     ej = best_e % 3
-    L = edge_axis.reshape(9, 3)[best_e]           # A frame, unit
+    L = oh_e @ edge_axis.reshape(9, 3)            # A frame, unit (one-hot pick)
     # Orient from A towards B.
     L = jnp.where(jnp.dot(L, t) < 0, -L, L)
 

@@ -49,19 +49,22 @@ def _border_radius(st, prm):
     )
 
 
-def convex_convex(pA, rA, stA, prmA, pB, rB, stB, prmB) -> Manifold:
+def support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB):
+    """Sampled-SAT separation estimate only: (gap, axis A->B).
+
+    The cheap core of convex_convex, reused by shape casts and CCD where the
+    manifold is not needed (keeps those bisection loops small to compile)."""
     bA = _border_radius(stA, prmA)
     bB = _border_radius(stB, prmB)
 
     def supp_A(d_w):
         s_l = shp.support_point(stA, prmA, quat.inv_rotate(rA, d_w))
-        return quat.transform_point(pA, rA, s_l), s_l
+        return quat.transform_point(pA, rA, s_l)
 
     def supp_B(d_w):
         s_l = shp.support_point(stB, prmB, quat.inv_rotate(rB, d_w))
-        return quat.transform_point(pB, rB, s_l), s_l
+        return quat.transform_point(pB, rB, s_l)
 
-    # --- candidate axes ---
     mA = quat.to_matrix(rA)
     mB = quat.to_matrix(rB)
     center = pB - pA
@@ -81,15 +84,28 @@ def convex_convex(pA, rA, stA, prmA, pB, rB, stB, prmB) -> Manifold:
     cand = cand * sgn[:, None]
 
     def gap(a):
-        sa, _ = supp_A(a)
-        sb, _ = supp_B(-a)
-        return jnp.dot(a, sb) - jnp.dot(a, sa) - bA - bB
+        return jnp.dot(a, supp_B(-a)) - jnp.dot(a, supp_A(a)) - bA - bB
 
     gaps = jax.vmap(gap)(cand)
     gaps = jnp.where(degenerate, -1e10, gaps)
     best = jnp.argmax(gaps)
-    n = cand[best]
-    dist = gaps[best]
+    oh = (jnp.arange(cand.shape[0]) == best).astype(cand.dtype)
+    return jnp.max(gaps), oh @ cand
+
+
+def convex_convex(pA, rA, stA, prmA, pB, rB, stB, prmB) -> Manifold:
+    bA = _border_radius(stA, prmA)
+    bB = _border_radius(stB, prmB)
+
+    def supp_A(d_w):
+        s_l = shp.support_point(stA, prmA, quat.inv_rotate(rA, d_w))
+        return quat.transform_point(pA, rA, s_l), s_l
+
+    def supp_B(d_w):
+        s_l = shp.support_point(stB, prmB, quat.inv_rotate(rB, d_w))
+        return quat.transform_point(pB, rB, s_l), s_l
+
+    dist, n = support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB)
 
     # --- manifold: perturbed support patches on both sides ---
     t1 = jnp.cross(n, jnp.array([1.0, 0.0, 0.0]))

@@ -176,8 +176,8 @@ def convex_triangle(pA, rA, stA, prmA, v0, v1, v2) -> Manifold:
     gaps = jax.vmap(gap)(cand)
     gaps = jnp.where(degenerate, -1e10, gaps)
     best = jnp.argmax(gaps)
-    n = cand[best]
-    dist = gaps[best]
+    n = (jnp.arange(cand.shape[0]) == best).astype(cand.dtype) @ cand
+    dist = jnp.max(gaps)
 
     # Manifold: perturbed supports of A towards the triangle.
     t1 = jnp.cross(n, jnp.array([1.0, 0.0, 0.0]))

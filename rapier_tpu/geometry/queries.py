@@ -107,9 +107,10 @@ def _ray_cuboid(o, d, h):
     hit = (tmax >= jnp.maximum(tmin, 0.0)) & ~jnp.any(par_out) & (t >= 0.0)
     ax = jnp.argmax(tmin_ax)
     p = o + d * t
-    n_out = jnp.zeros(3).at[ax].set(jnp.sign(p[ax]))
-    n_in = jnp.zeros(3).at[jnp.argmin(jnp.where(par_out, _INF, tmax_ax))].set(1.0)
-    nrm = jnp.where(inside, n_in * jnp.sign(p), n_out)
+    oh_out = (jnp.arange(3) == ax).astype(p.dtype)
+    n_out = oh_out * jnp.sign(jnp.sum(oh_out * p))
+    oh_in = (jnp.arange(3) == jnp.argmin(jnp.where(par_out, _INF, tmax_ax))).astype(p.dtype)
+    nrm = jnp.where(inside, oh_in * jnp.sign(p), n_out)
     return hit, t, nrm
 
 
@@ -152,15 +153,16 @@ def _ray_capsule(o, d, a, b, r):
 
     ha, ta, na = _ray_ball(o - a, d, r)
     hb, tb, nb = _ray_ball(o - b, d, r)
-    # Choose the smallest valid t.
+    # Choose the smallest valid t (one-hot pick, no per-lane gather).
     ts = jnp.stack([
         jnp.where(cyl_ok, tc, _INF),
         jnp.where(ha, ta, _INF),
         jnp.where(hb, tb, _INF),
     ])
     k = jnp.argmin(ts)
-    t = ts[k]
-    nrm = jnp.stack([n_cyl, na, nb])[k]
+    t = jnp.min(ts)
+    oh_k = (jnp.arange(3) == k).astype(d.dtype)
+    nrm = oh_k @ jnp.stack([n_cyl, na, nb])
     hit = t < _INF
     # Start inside: t=0.
     q, _ = _closest_point_segment(a, b, o)
@@ -289,9 +291,11 @@ def project_point(bodies, colliders, point, solid: bool = True,
         face_d = prm[0:3] - jnp.abs(p)
         ax = jnp.argmin(face_d)
         inside_c = d_out < 1e-12
-        surf_in = p.at[ax].set(jnp.sign(p[ax] + 1e-30) * prm[0:3][ax])
+        oh3 = (jnp.arange(3) == ax).astype(p.dtype)
+        sgn3 = jnp.where(jnp.sum(oh3 * p) >= 0, 1.0, -1.0)
+        surf_in = p * (1.0 - oh3) + oh3 * sgn3 * prm[0:3]
         proj_cub = jnp.where(inside_c, surf_in, q)
-        d_cub = jnp.where(inside_c, -face_d[ax], d_out)
+        d_cub = jnp.where(inside_c, -jnp.min(face_d), d_out)
         # Capsule.
         cq, _ = _closest_point_segment(prm[0:3], prm[3:6], p)
         dd = p - cq
@@ -366,29 +370,31 @@ class ShapeCastHit(NamedTuple):
     normal: jax.Array    # [3] contact normal (from obstacle towards shape)
 
 
-def _shape_distance(st, prm, pos, rot, colliders, w_pos, w_rot, cidx):
-    """Signed distance from a moving convex shape to one collider (support
-    based, same machinery as the narrow phase)."""
-    from rapier_tpu.geometry.narrowphase_convex import convex_convex
-    from rapier_tpu.geometry.narrowphase import convex_halfspace
+def _support_gap_to(st, prm, pos, rot, colliders, w_pos, w_rot, cidx):
+    """Cheap signed separation from a convex shape to one collider (sampled
+    SAT, no manifold)."""
+    from rapier_tpu.geometry.narrowphase_convex import support_gap
+    from rapier_tpu.geometry import shapes as shp
+    from rapier_tpu.math import quat as _q
 
     tB = colliders.shape_type[cidx]
     prmB = colliders.shape_params[cidx]
-    man = convex_convex(pos, rot, st, prm, w_pos[cidx], w_rot[cidx], tB, prmB)
-    d_cc = jnp.min(jnp.where(man.valid, man.dist, _INF))
-    n_cc = man.normal
-    man_h = convex_halfspace(pos, rot, st, prm, w_pos[cidx], w_rot[cidx], prmB)
-    d_hs = jnp.min(jnp.where(man_h.valid, man_h.dist, _INF))
+    d_cc, n_cc = support_gap(pos, rot, st, prm, w_pos[cidx], w_rot[cidx], tB, prmB)
+    # Halfspace: exact plane distance (support_gap doesn't cover it).
+    n_plane = _q.rotate(w_rot[cidx], prmB[0:3])
+    s_l = shp.support_point(st, prm, _q.inv_rotate(rot, -n_plane))
+    s_w = _q.transform_point(pos, rot, s_l)
+    d_hs = jnp.dot(n_plane, s_w - w_pos[cidx])
     is_hs = tB == ShapeType.HALFSPACE
-    return jnp.where(is_hs, d_hs, d_cc), jnp.where(is_hs, man_h.normal, n_cc)
+    return jnp.where(is_hs, d_hs, d_cc), jnp.where(is_hs, -n_plane, n_cc)
 
 
 def cast_shape(bodies, colliders, shape_type, shape_params, pos, rot,
                direction, max_toi, flags: int = 0, exclude_collider: int = -1,
                exclude_body: int = -1, groups: int = 0xFFFF_FFFF,
-               iters: int = 20) -> ShapeCastHit:
+               iters: int = 12) -> ShapeCastHit:
     """Sweep a convex shape along `direction` (QueryPipeline::cast_shape):
-    per-collider bisection on the support-based distance function."""
+    per-collider bisection on the support-based separation."""
     w_pos, w_rot = collider_world_poses(bodies, colliders)
     ok = _filter_mask(colliders, bodies.body_type, flags,
                       exclude_collider, exclude_body, groups)
@@ -397,18 +403,28 @@ def cast_shape(bodies, colliders, shape_type, shape_params, pos, rot,
 
     def per_collider(cidx, valid):
         def dist_at(t):
-            d, n = _shape_distance(
+            return _support_gap_to(
                 st, shape_params, pos + direction * t, rot,
                 colliders, w_pos, w_rot, cidx,
             )
-            return d, n
 
+        # Coarse scan first: a long sweep can enter AND exit the obstacle, so
+        # endpoint signs alone miss hits.  Find the first negative sample,
+        # then bisect inside that bracket.
+        n_coarse = 8
+        m = jnp.asarray(max_toi, jnp.float32)
+        ts = jnp.arange(1, n_coarse + 1) / n_coarse * m
+        ds = jnp.stack([dist_at(t)[0] for t in list(ts)])
         d0, _ = dist_at(0.0)
-        d1, _ = dist_at(max_toi)
-        hit_possible = (d1 <= 0.0) & (d0 > 0.0)
-        start_touching = d0 <= 0.0
+        neg = ds <= 0.0
+        any_neg = jnp.any(neg)
+        first = jnp.argmax(neg)          # index of first penetrating sample
+        seg = m / n_coarse
+        lo0 = jnp.maximum(first.astype(jnp.float32) * seg, 0.0)
+        hi0 = (first + 1).astype(jnp.float32) * seg
 
-        lo, hi = jnp.float32(0.0), jnp.asarray(max_toi, jnp.float32)
+        start_touching = d0 <= 0.0
+        lo, hi = lo0, hi0
         for _ in range(iters):
             mid = 0.5 * (lo + hi)
             dm, _ = dist_at(mid)
@@ -416,7 +432,7 @@ def cast_shape(bodies, colliders, shape_type, shape_params, pos, rot,
             hi = jnp.where(dm > 0.0, hi, mid)
         toi = jnp.where(start_touching, 0.0, lo)
         _, n = dist_at(toi)
-        hit = valid & (hit_possible | start_touching)
+        hit = valid & (any_neg | start_touching)
         return jnp.where(hit, toi, _INF), -n  # normal towards the shape
 
     tois, normals = jax.vmap(per_collider)(jnp.arange(c), ok)

@@ -1,0 +1,407 @@
+"""MJCF (MuJoCo XML) robot loader: a practical subset -> bodies/colliders/joints.
+
+Host-side port of the reference mjcf-rs + rapier3d-mjcf semantics
+(crates/mjcf-rs/src/loader/*, crates/rapier3d-mjcf/src/conversion.rs): parses
+<compiler> options (angle units), <default> class inheritance, nested
+<worldbody>/<body> trees with pos/quat/euler/axisangle orientations, geoms
+(plane/sphere/box/capsule/cylinder/ellipsoid/mesh with size/fromto semantics),
+joints (free/ball/hinge/slide with pos/axis/range), inertials, and actuators
+(motor/position/velocity -> joint motors driven via `apply_controls`).
+
+Not yet covered (reference parity TODO): <include>, tendons, equality
+constraints, sensors, keyframes/mocap, composite multi-joint bodies (the
+first joint wins; extra hinges degrade to a ball joint).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from rapier_tpu.world import (
+    ColliderBuilder,
+    GenericJointBuilder,
+    PhysicsWorld,
+    RigidBodyBuilder,
+)
+from rapier_tpu.loaders.urdf import _load_mesh_file, _quat_mul, _quat_rotate
+
+
+def _vec(s, default):
+    if s is None:
+        return np.asarray(default, float)
+    return np.asarray([float(x) for x in s.split()], float)
+
+
+def _axis_angle_quat(axis, angle):
+    axis = np.asarray(axis, float)
+    n = np.linalg.norm(axis)
+    if n < 1e-12:
+        return np.array([0.0, 0.0, 0.0, 1.0])
+    axis = axis / n
+    s = math.sin(angle / 2)
+    return np.array([axis[0] * s, axis[1] * s, axis[2] * s, math.cos(angle / 2)])
+
+
+class _Defaults:
+    """<default> class-inheritance resolution (mjcf-rs loader/default)."""
+
+    def __init__(self):
+        self.classes: dict[str, dict[str, dict]] = {"main": {}}
+
+    def parse(self, elem, parent="main"):
+        # The top-level <default> is the "main" class; nested ones are named.
+        name = elem.get("class", "main" if parent == "main" else parent)
+        merged = {k: dict(v) for k, v in self.classes.get(parent, {}).items()}
+        for child in elem:
+            if child.tag == "default":
+                continue
+            merged.setdefault(child.tag, {})
+            merged[child.tag].update(child.attrib)
+        self.classes[name] = merged
+        for child in elem.findall("default"):
+            self.parse(child, name)
+
+    def resolve(self, tag, attrib, cls):
+        out = dict(self.classes.get(cls or "main", {}).get(tag, {}))
+        out.update(attrib)
+        return out
+
+
+@dataclass
+class MjcfActuator:
+    name: str
+    kind: str            # motor | position | velocity
+    joint: str
+    gear: float
+    kp: float
+    kv: float
+
+
+@dataclass
+class MjcfRobotHandles:
+    """Loaded-model handles (reference MjcfRobotHandles, runtime.rs)."""
+
+    bodies: dict = field(default_factory=dict)
+    joints: dict = field(default_factory=dict)       # joint name -> handle
+    joint_axis: dict = field(default_factory=dict)   # joint name -> axis slot
+    actuators: list = field(default_factory=list)    # [MjcfActuator]
+
+    def apply_controls(self, world: PhysicsWorld, ctrl):
+        """Drive actuators (reference runtime.rs:450-507 apply_controls):
+        motor -> target velocity scaled by gear; position -> motor target
+        position; velocity -> motor target velocity."""
+        import jax.numpy as jnp
+
+        joints = world.state.joints
+        tp = joints.motor_target_pos
+        tv = joints.motor_target_vel
+        for a, u in zip(self.actuators, np.asarray(ctrl)):
+            j = self.joints.get(a.joint)
+            if j is None:
+                continue
+            ax = self.joint_axis[a.joint]
+            if a.kind == "position":
+                tp = tp.at[j, ax].set(float(u) * a.gear)
+            else:
+                tv = tv.at[j, ax].set(float(u) * a.gear)
+        world.state = world.state.replace(
+            joints=joints.replace(motor_target_pos=tp, motor_target_vel=tv)
+        )
+
+
+def _orientation(attrs, angle_scale):
+    """MJCF orientation attributes -> quaternion (conversion.rs rotations)."""
+    if "quat" in attrs:
+        q = _vec(attrs["quat"], (1, 0, 0, 0))  # MJCF order: w x y z
+        return np.array([q[1], q[2], q[3], q[0]])
+    if "euler" in attrs:
+        e = _vec(attrs["euler"], (0, 0, 0)) * angle_scale
+        qx = _axis_angle_quat((1, 0, 0), e[0])
+        qy = _axis_angle_quat((0, 1, 0), e[1])
+        qz = _axis_angle_quat((0, 0, 1), e[2])
+        return _quat_mul(_quat_mul(qx, qy), qz)
+    if "axisangle" in attrs:
+        aa = _vec(attrs["axisangle"], (0, 0, 1, 0))
+        return _axis_angle_quat(aa[:3], aa[3] * angle_scale)
+    if "zaxis" in attrs:
+        z = _vec(attrs["zaxis"], (0, 0, 1))
+        z = z / max(np.linalg.norm(z), 1e-12)
+        ref = np.array([0.0, 0.0, 1.0])
+        c = np.cross(ref, z)
+        d = float(np.dot(ref, z))
+        if d < -1 + 1e-9:
+            return np.array([1.0, 0.0, 0.0, 0.0])
+        q = np.array([c[0], c[1], c[2], 1.0 + d])
+        return q / np.linalg.norm(q)
+    if "xyaxes" in attrs:
+        v = _vec(attrs["xyaxes"], (1, 0, 0, 0, 1, 0))
+        x = v[:3] / max(np.linalg.norm(v[:3]), 1e-12)
+        y = v[3:6] - x * np.dot(x, v[3:6])
+        y = y / max(np.linalg.norm(y), 1e-12)
+        z = np.cross(x, y)
+        m = np.stack([x, y, z], axis=1)
+        tr = np.trace(m)
+        qw = math.sqrt(max(tr + 1.0, 1e-12)) / 2
+        q = np.array([
+            (m[2, 1] - m[1, 2]) / (4 * qw),
+            (m[0, 2] - m[2, 0]) / (4 * qw),
+            (m[1, 0] - m[0, 1]) / (4 * qw),
+            qw,
+        ])
+        return q / np.linalg.norm(q)
+    return np.array([0.0, 0.0, 0.0, 1.0])
+
+
+def _geom_collider(attrs, meshes: dict) -> Optional[ColliderBuilder]:
+    gtype = attrs.get("type", "sphere")
+    size = _vec(attrs.get("size"), (0.0, 0.0, 0.0))
+    fromto = attrs.get("fromto")
+
+    if gtype == "plane":
+        cb = ColliderBuilder.halfspace((0, 0, 1))  # plane normal = local +Z
+    elif gtype == "sphere":
+        cb = ColliderBuilder.ball(size[0])
+    elif gtype == "box":
+        cb = ColliderBuilder.cuboid(size[0], size[1], size[2])
+    elif gtype == "ellipsoid":
+        # Approximation: ball of mean radius (parity TODO: true ellipsoid).
+        cb = ColliderBuilder.ball(float(np.mean(size[:3])))
+    elif gtype in ("capsule", "cylinder"):
+        r = size[0]
+        if fromto is not None:
+            ft = _vec(fromto, (0, 0, 0, 0, 0, 1))
+            a, b = ft[:3], ft[3:6]
+            if gtype == "capsule":
+                cb = ColliderBuilder.capsule_from_endpoints(a, b, r)
+            else:
+                mid = (a + b) / 2
+                d = b - a
+                hh = np.linalg.norm(d) / 2
+                cb = ColliderBuilder.cylinder(hh, r)
+                z = d / max(np.linalg.norm(d), 1e-12)
+                ref = np.array([0.0, 1.0, 0.0])
+                c = np.cross(ref, z)
+                dd = float(np.dot(ref, z))
+                q = np.array([c[0], c[1], c[2], 1.0 + dd])
+                q = q / max(np.linalg.norm(q), 1e-12) if dd > -1 + 1e-9 else \
+                    np.array([1.0, 0.0, 0.0, 0.0])
+                cb.translation = tuple(mid)
+                cb.rotation = tuple(q)
+                return _apply_geom_material(cb, attrs)
+            return _apply_geom_material(cb, attrs)
+        else:
+            hh = size[1] if len(size) > 1 else 0.5
+            if gtype == "capsule":
+                cb = ColliderBuilder.capsule_z(hh, r)
+            else:
+                # MJCF cylinders are along +Z; ours along +Y.
+                cb = ColliderBuilder.cylinder(hh, r)
+                cb.rotation = tuple(_axis_angle_quat((1, 0, 0), math.pi / 2))
+    elif gtype == "mesh":
+        m = meshes.get(attrs.get("mesh", ""))
+        if m is None:
+            return None
+        cb = ColliderBuilder.trimesh(m[0], m[1])
+    else:
+        return None
+    return _apply_geom_material(cb, attrs)
+
+
+def _apply_geom_material(cb: ColliderBuilder, attrs) -> ColliderBuilder:
+    if "friction" in attrs:
+        fr = _vec(attrs["friction"], (1.0, 0.005, 0.0001))
+        cb.friction = float(fr[0])
+    if "density" in attrs:
+        cb.density = float(attrs["density"])
+    if "mass" in attrs:
+        cb.mass = float(attrs["mass"])
+    contype = int(attrs.get("contype", 1))
+    conaffinity = int(attrs.get("conaffinity", 1))
+    # contype/conaffinity -> interaction groups (reference hooks.rs).
+    cb.collision_groups = ((contype & 0xFFFF) << 16) | (conaffinity & 0xFFFF)
+    if contype == 0 and conaffinity == 0:
+        cb.collision_groups = 0  # never collides
+    return cb
+
+
+def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
+              root_translation=(0.0, 0.0, 0.0),
+              use_multibody: bool = False) -> MjcfRobotHandles:
+    """Parse an MJCF model and insert it into `world`.
+
+    Note: MJCF is Z-up; scenes built purely from MJCF should set
+    world gravity accordingly (e.g. (0, 0, -9.81)) or rotate at insertion.
+    """
+    del use_multibody  # reduced-coordinate articulations: later round
+    if os.path.exists(path_or_string):
+        tree = ET.parse(path_or_string)
+        root = tree.getroot()
+        base_dir = os.path.dirname(path_or_string)
+    else:
+        root = ET.fromstring(path_or_string)
+        base_dir = "."
+    assert root.tag == "mujoco", f"not an MJCF file (root <{root.tag}>)"
+
+    compiler = root.find("compiler")
+    angle_unit = (compiler.get("angle", "degree") if compiler is not None
+                  else "degree")
+    angle_scale = math.pi / 180.0 if angle_unit == "degree" else 1.0
+    meshdir = (compiler.get("meshdir", "") if compiler is not None else "")
+
+    defaults = _Defaults()
+    for d in root.findall("default"):
+        defaults.parse(d)
+
+    # Assets.
+    meshes = {}
+    asset = root.find("asset")
+    if asset is not None:
+        for m in asset.findall("mesh"):
+            fn = m.get("file", "")
+            path = os.path.join(base_dir, meshdir, fn)
+            tri = _load_mesh_file(path)
+            if tri is not None:
+                scale = _vec(m.get("scale"), (1, 1, 1))
+                meshes[m.get("name", os.path.splitext(fn)[0])] = (
+                    tri[0] * scale, tri[1]
+                )
+
+    handles = MjcfRobotHandles()
+    rt = np.asarray(root_translation, float)
+
+    def body_class(elem, inherited):
+        return elem.get("childclass", elem.get("class", inherited))
+
+    def insert_geoms(body_handle, elem, cls, is_world):
+        for g in elem.findall("geom"):
+            attrs = defaults.resolve("geom", g.attrib, g.get("class", cls))
+            cb = _geom_collider(attrs, meshes)
+            if cb is None:
+                continue
+            gpos = _vec(attrs.get("pos"), (0, 0, 0))
+            grot = _orientation(attrs, angle_scale)
+            base_pos = np.asarray(cb.translation)
+            base_rot = np.asarray(cb.rotation)
+            cb.translation = tuple(gpos + _quat_rotate(grot, base_pos))
+            cb.rotation = tuple(_quat_mul(grot, base_rot))
+            world.insert_collider(cb, body_handle)
+
+    def walk(elem, parent_handle, parent_pos, parent_rot, cls, is_world):
+        cls = body_class(elem, cls)
+        for b in elem.findall("body"):
+            bcls = body_class(b, cls)
+            bpos = _vec(b.get("pos"), (0, 0, 0))
+            brot = _orientation(b.attrib, angle_scale)
+            wpos = parent_pos + _quat_rotate(parent_rot, bpos)
+            wrot = _quat_mul(parent_rot, brot)
+
+            joints = b.findall("joint")
+            has_free = any(
+                defaults.resolve("joint", j.attrib, j.get("class", bcls))
+                .get("type", "hinge") == "free" for j in joints
+            )
+            fixed_to_parent = len(joints) == 0
+
+            bb = RigidBodyBuilder.dynamic()
+            bb.translation = tuple(wpos)
+            bb.rotation = tuple(wrot)
+            h = world.insert_body(bb)
+            handles.bodies[b.get("name", f"body{h}")] = h
+            insert_geoms(h, b, bcls, False)
+
+            if fixed_to_parent and parent_handle is not None:
+                gb = GenericJointBuilder.fixed()
+                gb.with_local_anchor1(tuple(bpos)).with_contacts_enabled(False)
+                base1 = np.asarray(gb.local_frame_rot1)
+                gb.local_frame_rot1 = tuple(_quat_mul(brot, base1))
+                world.insert_impulse_joint(parent_handle, h, gb)
+            elif not has_free and joints and parent_handle is not None:
+                j = joints[0]
+                attrs = defaults.resolve("joint", j.attrib, j.get("class", bcls))
+                jtype = attrs.get("type", "hinge")
+                jpos = _vec(attrs.get("pos"), (0, 0, 0))       # body-local
+                jaxis = _vec(attrs.get("axis"), (0, 0, 1))     # body-local
+                n_hinges = sum(
+                    1 for jj in joints
+                    if defaults.resolve("joint", jj.attrib, jj.get("class", bcls))
+                    .get("type", "hinge") == "hinge"
+                )
+                if jtype == "ball" or n_hinges > 1:
+                    gb = GenericJointBuilder.spherical()
+                    ax_slot = 3
+                elif jtype == "hinge":
+                    gb = GenericJointBuilder.revolute(jaxis)  # child-frame axis
+                    ax_slot = 3
+                elif jtype == "slide":
+                    gb = GenericJointBuilder.prismatic(jaxis)
+                    ax_slot = 0
+                else:
+                    gb, ax_slot = None, 0
+                if gb is not None:
+                    # Anchor at the joint position (jpos is child-body-local).
+                    gb.with_local_anchor1(tuple(bpos + _quat_rotate(brot, jpos)))
+                    gb.with_local_anchor2(tuple(jpos))
+                    gb.with_contacts_enabled(False)
+                    if jtype != "ball":
+                        # frame2 = X->axis in the child; frame1 = brot ∘ frame2
+                        # so the frames coincide at the assembled rest pose.
+                        gb.local_frame_rot1 = tuple(
+                            _quat_mul(brot, np.asarray(gb.local_frame_rot2))
+                        )
+                    if attrs.get("limited", "false") in ("true", "1") and \
+                            "range" in attrs:
+                        rng = _vec(attrs["range"], (0, 0))
+                        scale = angle_scale if jtype != "slide" else 1.0
+                        gb.with_limits(ax_slot, rng[0] * scale, rng[1] * scale)
+                    if "damping" in attrs and float(attrs["damping"]) > 0:
+                        gb.with_motor_velocity(ax_slot, 0.0, float(attrs["damping"]))
+                    name = j.get("name", f"joint{h}")
+                    handles.joints[name] = world.insert_impulse_joint(
+                        parent_handle, h, gb
+                    )
+                    handles.joint_axis[name] = ax_slot
+            walk(b, h, wpos, wrot, bcls, False)
+
+    worldbody = root.find("worldbody")
+    if worldbody is not None:
+        # World-level geoms attach to a fixed body.
+        if worldbody.findall("geom"):
+            gb_handle = world.insert_body(RigidBodyBuilder.fixed())
+            handles.bodies["world"] = gb_handle
+            insert_geoms(gb_handle, worldbody, "main", True)
+        walk(worldbody, None, rt, np.array([0.0, 0.0, 0.0, 1.0]), "main", True)
+
+    # Actuators.
+    act = root.find("actuator")
+    if act is not None:
+        for a in act:
+            if a.tag not in ("motor", "position", "velocity"):
+                continue
+            attrs = defaults.resolve(a.tag, a.attrib, a.get("class"))
+            name = a.get("name", f"act{len(handles.actuators)}")
+            jname = attrs.get("joint", "")
+            gear = float(_vec(attrs.get("gear"), (1.0,))[0])
+            kp = float(attrs.get("kp", 0.0))
+            kv = float(attrs.get("kv", 0.0))
+            handles.actuators.append(
+                MjcfActuator(name, a.tag, jname, gear, kp, kv)
+            )
+            # position/velocity actuators configure motor gains up front.
+            j = handles.joints.get(jname)
+            if j is not None and world.state is None:
+                ax = handles.joint_axis[jname]
+                for gbj, b1, b2 in [world._pending_joints[j]]:
+                    if a.tag == "position":
+                        gbj.with_motor_position(ax, 0.0, kp, kv if kv > 0 else kp * 0.1)
+                    elif a.tag == "velocity":
+                        gbj.with_motor_velocity(ax, 0.0, kv if kv > 0 else 10.0)
+                    else:
+                        gbj.with_motor_velocity(ax, 0.0, 0.0)
+
+    return handles

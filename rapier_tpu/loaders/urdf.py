@@ -1,0 +1,272 @@
+"""URDF robot loader: links/joints -> bodies/colliders/impulse joints.
+
+Host-side port of the reference rapier3d-urdf crate semantics
+(crates/rapier3d-urdf/src/lib.rs:78-556): each <link> becomes a rigid body
+(with <inertial> mass properties when present, else collider densities), each
+<collision> geometry becomes a collider, and each <joint> becomes an impulse
+joint (fixed/revolute/continuous/prismatic supported; floating = no joint).
+
+Meshes referenced by <mesh filename=...> load via trimesh collider tables when
+the file is a simple OBJ/STL ASCII file; otherwise the collision is skipped
+with a warning (the reference delegates to rapier3d-meshloader).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from rapier_tpu.world import (
+    ColliderBuilder,
+    GenericJointBuilder,
+    PhysicsWorld,
+    RigidBodyBuilder,
+)
+
+
+def _parse_vec(s: Optional[str], default=(0.0, 0.0, 0.0)):
+    if not s:
+        return np.asarray(default, float)
+    return np.asarray([float(x) for x in s.split()], float)
+
+
+def _rpy_to_quat(rpy):
+    """URDF fixed-axis roll-pitch-yaw -> quaternion (x, y, z, w)."""
+    r, p, y = rpy
+    cr, sr = math.cos(r / 2), math.sin(r / 2)
+    cp, sp = math.cos(p / 2), math.sin(p / 2)
+    cy, sy = math.cos(y / 2), math.sin(y / 2)
+    return np.array([
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
+        cr * cp * cy + sr * sp * sy,
+    ])
+
+
+def _quat_mul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+
+
+def _quat_rotate(q, v):
+    u, w = q[:3], q[3]
+    t = 2.0 * np.cross(u, v)
+    return v + w * t + np.cross(u, t)
+
+
+def _origin(elem):
+    if elem is None:
+        return np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0])
+    xyz = _parse_vec(elem.get("xyz"))
+    rpy = _parse_vec(elem.get("rpy"))
+    return xyz, _rpy_to_quat(rpy)
+
+
+@dataclass
+class UrdfRobotHandles:
+    """Handles produced by loading (reference UrdfRobotHandles)."""
+
+    bodies: dict = field(default_factory=dict)   # link name -> body handle
+    joints: dict = field(default_factory=dict)   # joint name -> joint handle
+    joint_names: list = field(default_factory=list)
+
+
+def _geometry_collider(geom_elem, mesh_dir: str) -> Optional[ColliderBuilder]:
+    box = geom_elem.find("box")
+    if box is not None:
+        size = _parse_vec(box.get("size"), (1, 1, 1))
+        return ColliderBuilder.cuboid(size[0] / 2, size[1] / 2, size[2] / 2)
+    sphere = geom_elem.find("sphere")
+    if sphere is not None:
+        return ColliderBuilder.ball(float(sphere.get("radius", 0.5)))
+    cyl = geom_elem.find("cylinder")
+    if cyl is not None:
+        r = float(cyl.get("radius", 0.5))
+        l = float(cyl.get("length", 1.0))
+        # URDF cylinders are along +Z; ours along +Y: rotate frame.
+        cb = ColliderBuilder.cylinder(l / 2, r)
+        return cb.with_rotation((math.pi / 2, 0.0, 0.0))
+    capsule = geom_elem.find("capsule")
+    if capsule is not None:
+        r = float(capsule.get("radius", 0.5))
+        l = float(capsule.get("length", 1.0))
+        return ColliderBuilder.capsule_z(l / 2, r)
+    mesh = geom_elem.find("mesh")
+    if mesh is not None:
+        fn = mesh.get("filename", "")
+        fn = fn.replace("package://", "")
+        path = os.path.join(mesh_dir, fn) if not os.path.isabs(fn) else fn
+        tri = _load_mesh_file(path)
+        if tri is not None:
+            v, t = tri
+            scale = _parse_vec(mesh.get("scale"), (1, 1, 1))
+            return ColliderBuilder.trimesh(v * scale, t)
+    return None
+
+
+def _load_mesh_file(path: str):
+    """Minimal OBJ / ASCII-STL loader (rapier3d-meshloader analog)."""
+    if not os.path.exists(path):
+        return None
+    verts, faces = [], []
+    if path.lower().endswith(".obj"):
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "v":
+                    verts.append([float(x) for x in parts[1:4]])
+                elif parts[0] == "f":
+                    idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                    for k in range(1, len(idx) - 1):
+                        faces.append([idx[0], idx[k], idx[k + 1]])
+        return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
+    if path.lower().endswith(".stl"):
+        with open(path, "rb") as f:
+            head = f.read(5)
+        if head != b"solid":
+            return None  # binary STL: TODO
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] == "vertex":
+                    verts.append([float(x) for x in parts[1:4]])
+        v = np.asarray(verts, np.float32)
+        t = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
+        return v, t
+    return None
+
+
+def load_urdf(path_or_string: str, world: PhysicsWorld, *,
+              root_translation=(0.0, 0.0, 0.0), fixed_base: bool = False,
+              mesh_dir: Optional[str] = None) -> UrdfRobotHandles:
+    """Parse URDF and insert the robot into `world`.
+
+    Mirrors UrdfRobot::from_file + insert_using_impulse_joints
+    (crates/rapier3d-urdf/src/lib.rs:243+).
+    """
+    if os.path.exists(path_or_string):
+        tree = ET.parse(path_or_string)
+        root = tree.getroot()
+        mesh_dir = mesh_dir or os.path.dirname(path_or_string)
+    else:
+        root = ET.fromstring(path_or_string)
+        mesh_dir = mesh_dir or "."
+    assert root.tag == "robot", f"not a URDF file (root <{root.tag}>)"
+
+    links = {l.get("name"): l for l in root.findall("link")}
+    joints = root.findall("joint")
+
+    # Kinematic tree: world poses by walking joints from the root link.
+    children = {}
+    child_links = set()
+    for j in joints:
+        parent = j.find("parent").get("link")
+        child = j.find("child").get("link")
+        children.setdefault(parent, []).append(j)
+        child_links.add(child)
+    roots = [name for name in links if name not in child_links]
+
+    handles = UrdfRobotHandles()
+    world_pose: dict[str, tuple] = {}
+    rt = np.asarray(root_translation, float)
+
+    def insert_link(name, pos, rot, is_root):
+        link = links[name]
+        inertial = link.find("inertial")
+        bb = RigidBodyBuilder.fixed() if (is_root and fixed_base) \
+            else RigidBodyBuilder.dynamic()
+        bb.translation = tuple(pos)
+        bb.rotation = tuple(rot)
+        h = world.insert_body(bb)
+        ncol = 0
+        for col in link.findall("collision"):
+            cpos, crot = _origin(col.find("origin"))
+            cb = _geometry_collider(col.find("geometry"), mesh_dir)
+            if cb is None:
+                continue
+            base_pos = np.asarray(cb.translation)
+            base_rot = np.asarray(cb.rotation)
+            cb.translation = tuple(cpos + _quat_rotate(crot, base_pos))
+            cb.rotation = tuple(_quat_mul(crot, base_rot))
+            world.insert_collider(cb, h)
+            ncol += 1
+        if inertial is not None:
+            mass_el = inertial.find("mass")
+            if mass_el is not None and ncol == 0:
+                bb.additional_mass = float(mass_el.get("value", 0.0))
+        handles.bodies[name] = h
+        return h
+
+    def walk(name, pos, rot, is_root):
+        insert_link(name, pos, rot, is_root)
+        world_pose[name] = (pos, rot)
+        for j in children.get(name, []):
+            jpos, jrot = _origin(j.find("origin"))
+            cname = j.find("child").get("link")
+            cpos = pos + _quat_rotate(rot, jpos)
+            crot = _quat_mul(rot, jrot)
+            walk(cname, cpos, crot, False)
+
+    for r in roots:
+        walk(r, rt.copy(), np.array([0.0, 0.0, 0.0, 1.0]), True)
+
+    # Joints.
+    for j in joints:
+        jtype = j.get("type")
+        pname = j.find("parent").get("link")
+        cname = j.find("child").get("link")
+        jpos, jrot = _origin(j.find("origin"))
+        axis = _parse_vec(
+            j.find("axis").get("xyz") if j.find("axis") is not None else None,
+            (1.0, 0.0, 0.0),
+        )
+        # URDF axis lives in the joint (= child-at-zero) frame.  Our joint
+        # model wants: local_rot2 = X->axis in the child frame, and
+        # local_rot1 = joint-origin rotation ∘ local_rot2 so the frames
+        # coincide at q=0.  Anchors: joint origin in the parent, zero in the
+        # child.
+        if jtype in ("revolute", "continuous"):
+            gb = GenericJointBuilder.revolute(axis)
+        elif jtype == "prismatic":
+            gb = GenericJointBuilder.prismatic(axis)
+        elif jtype == "fixed":
+            gb = GenericJointBuilder.fixed()
+        elif jtype in ("floating", "planar"):
+            continue  # free relative motion: no impulse joint
+        else:
+            continue
+        gb.with_local_anchor1(tuple(jpos)).with_local_anchor2((0.0, 0.0, 0.0))
+        gb.with_contacts_enabled(False)
+        gb.local_frame_rot1 = tuple(
+            _quat_mul(jrot, np.asarray(gb.local_frame_rot2))
+        )
+
+        limit = j.find("limit")
+        if limit is not None and jtype in ("revolute", "prismatic"):
+            lo = float(limit.get("lower", 0.0))
+            hi = float(limit.get("upper", 0.0))
+            if hi > lo:
+                axis_idx = 3 if jtype == "revolute" else 0
+                gb.with_limits(axis_idx, lo, hi)
+
+        hj = world.insert_impulse_joint(
+            handles.bodies[pname], handles.bodies[cname], gb
+        )
+        handles.joints[j.get("name")] = hj
+        handles.joint_names.append(j.get("name"))
+
+    return handles

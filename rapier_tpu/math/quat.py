@@ -122,3 +122,57 @@ def inverse_transform_point(pos, rot, p):
 def compose(pos1, rot1, pos2, rot2):
     """Compose two poses: result = pose1 * pose2."""
     return pos1 + rotate(rot1, pos2), mul(rot1, rot2)
+
+
+# -- component-leading (CL) variants -----------------------------------------
+#
+# TPU-tiled layouts pad the trailing two dims to (8, 128), so hot solver data
+# keeps the big lane axis LAST and the small component axis FIRST: vectors are
+# [3, ...lanes], quaternions [4, ...lanes].  These mirror the functions above.
+
+
+def cross_cl(a, b):
+    """Cross product of [3, ...] arrays."""
+    ax, ay, az = a[0], a[1], a[2]
+    bx, by, bz = b[0], b[1], b[2]
+    return jnp.stack([ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx])
+
+
+def dot_cl(a, b):
+    return jnp.sum(a * b, axis=0)
+
+
+def rotate_cl(q, v):
+    """Rotate [3, ...] vectors by [4, ...] quaternions."""
+    u = q[:3]
+    w = q[3]
+    t = 2.0 * cross_cl(u, v)
+    return v + w[None] * t + cross_cl(u, t)
+
+
+def inv_rotate_cl(q, v):
+    qc = jnp.concatenate([-q[:3], q[3:4]], axis=0)
+    return rotate_cl(qc, v)
+
+
+def mul_cl(a, b):
+    ax, ay, az, aw = a[0], a[1], a[2], a[3]
+    bx, by, bz, bw = b[0], b[1], b[2], b[3]
+    return jnp.stack([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+
+
+def normalize_cl(q, eps: float = 1e-12):
+    n = jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True))
+    return q / jnp.maximum(n, eps)
+
+
+def integrate_linearized_cl(q, angvel, dt):
+    """CL version of integrate_linearized: q' = normalize((ω·dt/2, 1) ⊗ q)."""
+    h = angvel * (dt * 0.5)
+    dq = jnp.concatenate([h, jnp.ones_like(h[:1])], axis=0)
+    return normalize_cl(mul_cl(dq, q))

@@ -46,48 +46,60 @@ class StepEvents(NamedTuple):
 
 
 def _match_previous(prev: Contacts, man: ManifoldBatch):
-    """Sorted join of new pairs against the previous step's pair cache.
+    """Join new pairs against the previous step's pair cache.
 
     Returns per-(pair, point): matched warmstart impulses and previous total
     impulses (for is_bouncy), plus per-pair previous `touching` (for events).
     The analog of parry's TrackedContact feature-id matching + the reference's
     warmstart round-trip (contact_pair.rs:34-51).
+
+    Implementation: a dense [P, P] key-equality matrix instead of sort +
+    searchsorted — equality + matmul contraction beats TPU's while-loop
+    binary-search lowering, and the same matrix routes every warmstart field.
     """
-    p = man.pair_key.shape[0]
-    old_keys = jnp.where(prev.pair_key >= 0, prev.pair_key, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(old_keys)
-    sorted_keys = old_keys[order]
-
     new_keys = jnp.where(man.valid, man.pair_key, -1)
-    pos = jnp.searchsorted(sorted_keys, new_keys)
-    cand = jnp.clip(pos, 0, p - 1)
-    old_idx = order[cand]
-    matched = man.valid & (sorted_keys[cand] == new_keys)
+    old_keys = jnp.where(prev.pair_key >= 0, prev.pair_key, -2)
+    eq = new_keys[:, None] == old_keys[None, :]              # [P, P] bool
+    matched = jnp.any(eq, axis=1) & man.valid
+    eqf = eq.astype(jnp.float32)
 
-    # Per-point feature-id matching (4 new x 4 old).
-    old_fid = prev.feature_id[old_idx]        # [P, 4]
-    old_pact = prev.point_active[old_idx]
-    fmatch = (man.fid[:, :, None] == old_fid[:, None, :]) & old_pact[:, None, :]
-    fmatch = fmatch & matched[:, None, None] & (man.fid[:, :, None] >= 0)
-    # At most one old point per new point: pick the first match.
-    pick = jnp.argmax(fmatch, axis=-1)                       # [P, 4]
-    has = jnp.any(fmatch, axis=-1)                           # [P, 4]
+    def join_pair(arr):
+        """Route per-old-pair values to new lanes (at most one match)."""
+        return eqf @ arr.astype(jnp.float32)
+
+    # Per-point feature-id matching (4 new x 4 old), via joined fid rows.
+    old_fid = jnp.einsum("po,ok->pk", eqf, prev.feature_id.astype(jnp.float32))
+    old_pact = jnp.einsum("po,ok->pk", eqf, prev.point_active.astype(jnp.float32)) > 0
+    fmatch = (
+        (man.fid[:, :, None].astype(jnp.float32) == old_fid[:, None, :])
+        & old_pact[:, None, :]
+        & matched[:, None, None]
+        & (man.fid[:, :, None] >= 0)
+    )
+    # Keep only the FIRST old match per new point (manual prefix to avoid the
+    # reduce_window cumsum lowering).
+    f = fmatch
+    pre1 = f[..., 0]
+    pre2 = pre1 | f[..., 1]
+    pre3 = pre2 | f[..., 2]
+    first = jnp.stack(
+        [f[..., 0], f[..., 1] & ~pre1, f[..., 2] & ~pre2, f[..., 3] & ~pre3],
+        axis=-1,
+    )
+    ff = first.astype(jnp.float32)                           # [P, 4new, 4old]
 
     def take(arr):
-        return jnp.where(has, jnp.take_along_axis(arr[old_idx], pick, axis=1), 0.0)
+        return jnp.einsum("pno,po->pn", ff, join_pair(arr))
 
     ws_normal = take(prev.warmstart_impulse)
     prev_impulse = take(prev.impulse)
-    ws_tan = jnp.where(
-        has[..., None],
-        jnp.take_along_axis(
-            prev.warmstart_tangent_impulse[old_idx], pick[..., None], axis=1
-        ),
-        0.0,
-    )
-    ws_twist = jnp.where(matched, prev.warmstart_twist_impulse[old_idx], 0.0)
-    prev_touching = matched & prev.touching[old_idx]
-    return ws_normal, ws_tan, ws_twist, prev_impulse, prev_touching, matched
+    old_tan = jnp.einsum("po,okd->pkd", eqf, prev.warmstart_tangent_impulse)
+    ws_tan = jnp.einsum("pno,pod->pnd", ff, old_tan)
+    ws_twist = jnp.where(matched, join_pair(prev.warmstart_twist_impulse), 0.0)
+    prev_touching = matched & (join_pair(prev.touching) > 0)
+    # Old pairs still touching this step (for stopped events).
+    still = jnp.any(eq & man.touching[:, None], axis=0)
+    return ws_normal, ws_tan, ws_twist, prev_impulse, prev_touching, matched, still
 
 
 def step(state: SceneState, params: SimParams, hooks=None):
@@ -166,10 +178,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
             ACTIVE_HOOKS_MODIFY_SOLVER_CONTACTS,
         )
 
-        hflags = (
-            colliders.active_hooks[jnp.maximum(man.collider1, 0)]
-            | colliders.active_hooks[jnp.maximum(man.collider2, 0)]
-        )
+        hflags = man.active_hooks_or
         if hooks.filter_contact_pair is not None:
             gate = (hflags & ACTIVE_HOOKS_FILTER_CONTACT_PAIR) != 0
             keep = hooks.filter_contact_pair(bodies, colliders, man)
@@ -192,7 +201,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # ------------------------------------------------------------------
     # 4. Warmstart matching + events bookkeeping.
     # ------------------------------------------------------------------
-    (ws_n, ws_t, ws_tw, prev_imp, prev_touch, _matched) = _match_previous(
+    (ws_n, ws_t, ws_tw, prev_imp, prev_touch, _matched, still) = _match_previous(
         state.contacts, man
     )
     started = man.touching & ~prev_touch
@@ -213,13 +222,9 @@ def step(state: SceneState, params: SimParams, hooks=None):
         joint_blocked = jkey_sorted[jpos] == mkey
         man = man._replace(solver_pair=man.solver_pair & ~joint_blocked)
 
-    # Stopped events: previous touching pairs absent or no longer touching.
+    # Stopped events: previous touching pairs absent or no longer touching
+    # ("still" comes from the match join above).
     prev_c = state.contacts
-    new_keys_sorted = jnp.sort(jnp.where(man.touching, man.pair_key,
-                                         jnp.iinfo(jnp.int32).max))
-    pos2 = jnp.searchsorted(new_keys_sorted, prev_c.pair_key)
-    cand2 = jnp.clip(pos2, 0, max_pairs - 1)
-    still = new_keys_sorted[cand2] == prev_c.pair_key
     stopped = prev_c.touching & ~still & (prev_c.pair_key >= 0)
 
     # ------------------------------------------------------------------
@@ -241,22 +246,30 @@ def step(state: SceneState, params: SimParams, hooks=None):
         emask = jnp.concatenate([emask, jmask])
     edge_dd = emask & dyn[jnp.maximum(eb1, 0)] & dyn[jnp.maximum(eb2, 0)]
 
+    # Adjacency of the dynamic-dynamic interaction graph as a dense [N, N]
+    # matrix (N is the body capacity; matvec propagation beats TPU scatters).
+    sent = n
+    t1 = jnp.where(edge_dd, eb1, sent)
+    t2 = jnp.where(edge_dd, eb2, sent)
+    body_ids = jnp.arange(n + 1)
+    e1 = (t1[:, None] == body_ids[None, :]).astype(jnp.float32)  # [E, N+1]
+    e2 = (t2[:, None] == body_ids[None, :]).astype(jnp.float32)
+    adj = (e1.T @ e2)[:n, :n]
+    adj = adj + adj.T
+
     sleeping = bodies.sleeping & dyn
     if params.sleeping_enabled:
-        sent = n
-        sb1 = jnp.where(started & (man.body1 >= 0), man.body1, sent)
-        sb2 = jnp.where(started & (man.body2 >= 0), man.body2, sent)
-        woke = jnp.zeros((n + 1,), bool).at[sb1].set(True).at[sb2].set(True)[:n]
+        sb1 = (jnp.where(started & (man.body1 >= 0), man.body1, sent)[:, None]
+               == body_ids[None, :])
+        sb2 = (jnp.where(started & (man.body2 >= 0), man.body2, sent)[:, None]
+               == body_ids[None, :])
+        woke = (jnp.any(sb1, axis=0) | jnp.any(sb2, axis=0))[:n]
         awake = (dyn & ~sleeping) | (woke & dyn)
-        # Spread wakefulness across dynamic-dynamic edges.
+        # Spread wakefulness across dynamic-dynamic edges (matvec per hop).
         awake_p = awake
-        t1 = jnp.where(edge_dd, eb1, sent)
-        t2 = jnp.where(edge_dd, eb2, sent)
         for _ in range(params.sleep_propagation_iters):
-            nb = jnp.zeros((n + 1,), bool)
-            nb = nb.at[t1].max(awake_p[jnp.minimum(t2, n - 1)])
-            nb = nb.at[t2].max(awake_p[jnp.minimum(t1, n - 1)])
-            awake_p = awake_p | (nb[:n] & dyn)
+            nb = (adj @ awake_p.astype(jnp.float32)) > 0.0
+            awake_p = awake_p | (nb & dyn)
         sleeping = dyn & ~awake_p
     bodies = bodies.replace(sleeping=sleeping)
 
@@ -280,9 +293,10 @@ def step(state: SceneState, params: SimParams, hooks=None):
     )
 
     constraints = cc.generate(man, sb, prev_imp, color, n)
+    # Inject matched warmstart impulses (constraint arrays are lane-last).
     constraints = constraints._replace(
-        impulse=ws_n * constraints.point_mask,
-        tan_impulse=_manifold_tan_ws(ws_t, constraints.point_mask),
+        impulse=ws_n.T * constraints.point_mask,
+        tan_impulse=_manifold_tan_ws(ws_t, constraints.point_mask.T).T,
         twist_impulse=ws_tw,
     )
 
@@ -332,15 +346,11 @@ def step(state: SceneState, params: SimParams, hooks=None):
         # A body sleeps only if its whole touching component is eligible:
         # K-iteration min-propagation approximates island extraction
         # (divergence documented: components wider than K hops sleep later).
+        # min over neighbors == "no ineligible neighbor" via the adjacency.
         elig_ext = eligible | ~dyn  # non-dynamic neighbors don't block sleep
-        sent = n
-        t1 = jnp.where(edge_dd, eb1, sent)
-        t2 = jnp.where(edge_dd, eb2, sent)
         for _ in range(params.sleep_propagation_iters):
-            nb = jnp.ones((n + 1,), bool)
-            nb = nb.at[t1].min(elig_ext[jnp.minimum(t2, n - 1)])
-            nb = nb.at[t2].min(elig_ext[jnp.minimum(t1, n - 1)])
-            elig_ext = elig_ext & nb[:n]
+            bad_nb = (adj @ (~elig_ext).astype(jnp.float32)) > 0.0
+            elig_ext = elig_ext & ~bad_nb
         new_sleeping = dyn & eligible & elig_ext
         bodies = bodies.replace(
             sleeping=new_sleeping,
@@ -352,8 +362,9 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # ------------------------------------------------------------------
     # 9. Persist contact cache (warmstart round-trip, SURVEY §5.4).
     # ------------------------------------------------------------------
-    total_normal = constraints.impulse_acc + constraints.impulse
-    total_tan = constraints.tan_impulse_acc + constraints.tan_impulse
+    total_normal = (constraints.impulse_acc + constraints.impulse).T   # [P, 4]
+    total_tan = (constraints.tan_impulse_acc + constraints.tan_impulse).T
+    pmask_rm = constraints.point_mask.T                                 # [P, 4]
     contacts = Contacts(
         pair_key=jnp.where(man.valid, man.pair_key, -1),
         body1=man.body1, body2=man.body2,
@@ -362,12 +373,12 @@ def step(state: SceneState, params: SimParams, hooks=None):
         feature_id=man.fid, point_active=man.point_active,
         num_points=jnp.sum(man.point_active.astype(jnp.int32), axis=-1),
         active=man.valid, touching=man.touching,
-        warmstart_impulse=constraints.impulse,
+        warmstart_impulse=constraints.impulse.T,
         warmstart_tangent_impulse=jnp.broadcast_to(
-            constraints.tan_impulse[:, None, :], (max_pairs, 4, 2)
+            constraints.tan_impulse.T[:, None, :], (max_pairs, 4, 2)
         ),
         warmstart_twist_impulse=constraints.twist_impulse,
-        impulse=total_normal * constraints.point_mask,
+        impulse=total_normal * pmask_rm,
         tangent_impulse=jnp.broadcast_to(
             total_tan[:, None, :], (max_pairs, 4, 2)
         ),
@@ -376,21 +387,14 @@ def step(state: SceneState, params: SimParams, hooks=None):
 
     # Contact force events (physics_pipeline.rs:338-363): total manifold
     # normal force vs per-collider threshold.
-    force_mag = jnp.sum(total_normal * constraints.point_mask, axis=-1) * inv_dt
-    thr = jnp.minimum(
-        colliders.contact_force_event_threshold[jnp.maximum(man.collider1, 0)],
-        colliders.contact_force_event_threshold[jnp.maximum(man.collider2, 0)],
-    )
+    force_mag = jnp.sum(total_normal * pmask_rm, axis=-1) * inv_dt
+    thr = man.force_threshold
     # Event gating by ActiveEvents flags (reference event_handler.rs:33:
     # only flagged colliders emit; wake-up above is NOT gated).
     from rapier_tpu.types import ACTIVE_EVENTS_COLLISION, ACTIVE_EVENTS_CONTACT_FORCE
 
-    eflags = (
-        colliders.active_events[jnp.maximum(man.collider1, 0)]
-        | colliders.active_events[jnp.maximum(man.collider2, 0)]
-    )
-    collision_gate = (eflags & ACTIVE_EVENTS_COLLISION) != 0
-    force_gate = (eflags & ACTIVE_EVENTS_CONTACT_FORCE) != 0
+    collision_gate = (man.active_events_or & ACTIVE_EVENTS_COLLISION) != 0
+    force_gate = (man.active_events_or & ACTIVE_EVENTS_CONTACT_FORCE) != 0
     prev_eflags = (
         colliders.active_events[jnp.maximum(prev_c.collider1, 0)]
         | colliders.active_events[jnp.maximum(prev_c.collider2, 0)]

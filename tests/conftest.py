@@ -1,8 +1,8 @@
 import os
 
-# Force a virtual 8-device CPU mesh for sharding tests (SURVEY §2.3): tests
-# never require real TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests ALWAYS run on a virtual 8-device CPU mesh (SURVEY §2.3) — force it
+# even when the environment presets JAX_PLATFORMS (e.g. to the TPU tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -4,11 +4,24 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rapier_tpu.control.character import CharacterControllerOptions, move_shape
+import jax
+
+from rapier_tpu.control.character import CharacterControllerOptions
+from rapier_tpu.control.character import move_shape as _move_shape
 from rapier_tpu.control.pid import PdGains, pd_force_and_torque
-from rapier_tpu.control.vehicle import default_wheels, update_vehicle
+from rapier_tpu.control.vehicle import default_wheels
+from rapier_tpu.control.vehicle import update_vehicle as _update_vehicle
 from rapier_tpu.types import ShapeType
 from rapier_tpu.world import ColliderBuilder, PhysicsWorld, RigidBodyBuilder
+
+# Controllers build large eager graphs (iterated shape casts); jit them.
+move_shape = jax.jit(
+    _move_shape,
+    static_argnames=("options", "exclude_collider", "exclude_body", "flags"),
+)
+update_vehicle = jax.jit(
+    _update_vehicle, static_argnames=("chassis", "forward_axis", "up_axis")
+)
 
 
 @pytest.fixture(scope="module")
@@ -125,6 +138,8 @@ def test_vehicle_drives_forward():
         ))
         w.step()
     p = w.body_translation(chassis)
-    assert p[2] > 1.0, f"vehicle should drive forward, at {p}"
+    # Reference convention: forward = contact_normal x axle; with up normal
+    # and +x axles that is -z.
+    assert p[2] < -1.0, f"vehicle should drive forward (-z), at {p}"
     assert 0.2 < p[1] < 1.0  # suspension holds it off the ground
     assert bool(np.asarray(upd.in_contact).all())

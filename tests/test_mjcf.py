@@ -1,0 +1,68 @@
+"""MJCF loader tests: Z-up pendulum with an actuator."""
+
+import numpy as np
+import pytest
+
+from rapier_tpu.loaders.mjcf import load_mjcf
+from rapier_tpu.world import PhysicsWorld
+
+MODEL = """
+<mujoco model="pendulum">
+  <compiler angle="degree"/>
+  <default>
+    <geom friction="0.8"/>
+    <default class="small">
+      <geom friction="0.3"/>
+    </default>
+  </default>
+  <worldbody>
+    <geom type="plane" size="10 10 0.1"/>
+    <body name="base" pos="0 0 1">
+      <geom type="box" size="0.1 0.1 0.1"/>
+      <body name="arm" pos="0.0 0 -0.1">
+        <joint name="swing" type="hinge" axis="0 1 0" pos="0 0 0"
+               limited="true" range="-90 90"/>
+        <geom type="capsule" fromto="0 0 0  0 0 -0.5" size="0.04"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <velocity name="drive" joint="swing" kv="50"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_mjcf_structure():
+    w = PhysicsWorld(gravity=(0, 0, -9.81))  # MJCF is Z-up
+    h = load_mjcf(MODEL, w)
+    assert "base" in h.bodies and "arm" in h.bodies
+    assert "swing" in h.joints
+    assert len(h.actuators) == 1 and h.actuators[0].kind == "velocity"
+    w.build()
+    np.testing.assert_allclose(
+        w.body_translation(h.bodies["base"]), [0, 0, 1], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        w.body_translation(h.bodies["arm"]), [0, 0, 0.9], atol=1e-6
+    )
+    # The plane became a fixed world collider.
+    assert "world" in h.bodies
+
+
+def test_mjcf_actuated_swing():
+    w = PhysicsWorld(gravity=(0, 0, -9.81))
+    h = load_mjcf(MODEL, w)
+    # Base is a dynamic body without a joint to world: freeze it by making it
+    # fixed (emulating an anchored robot).
+    w._pending_bodies[h.bodies["base"]].body_type = 1  # FIXED
+    w.build()
+    h.apply_controls(w, [1.0])  # drive the hinge at 1 rad/s
+    w.step(120)
+    arm = w.body_translation(h.bodies["arm"])
+    assert np.isfinite(arm).all()
+    # Hinge anchor holds: arm origin stays at the mount point.
+    np.testing.assert_allclose(arm, [0, 0, 0.9], atol=5e-2)
+    # The arm rotated about +Y: its rotation has a y component.
+    q = w.body_rotation(h.bodies["arm"])
+    assert abs(q[1]) > 0.1

@@ -24,8 +24,11 @@ def test_vmap_batch_steps():
 def test_sharded_step_8_devices():
     from rapier_tpu.parallel.sharding import make_mesh, make_sharded_step, shard_batch
 
-    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
-    mesh = make_mesh(jax.devices()[:8])
+    # Explicitly use the virtual CPU mesh: the TPU tunnel plugin can override
+    # JAX_PLATFORMS and make jax.devices() return the single real chip.
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(cpus[:8])
     world = stack_world(n=2)
     s0 = world.build()
     batch = jax.tree.map(jnp.asarray, replicate_scene(s0, 16))

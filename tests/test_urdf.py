@@ -1,0 +1,72 @@
+"""URDF loader tests: a simple double pendulum robot."""
+
+import numpy as np
+import pytest
+
+from rapier_tpu.loaders.urdf import load_urdf
+from rapier_tpu.world import PhysicsWorld
+
+PENDULUM = """
+<robot name="pendulum">
+  <link name="base">
+    <collision>
+      <geometry><box size="0.2 0.2 0.2"/></geometry>
+    </collision>
+  </link>
+  <link name="arm1">
+    <collision>
+      <origin xyz="0 -0.25 0"/>
+      <geometry><box size="0.05 0.5 0.05"/></geometry>
+    </collision>
+  </link>
+  <link name="arm2">
+    <collision>
+      <origin xyz="0 -0.25 0"/>
+      <geometry><capsule radius="0.04" length="0.4"/></geometry>
+    </collision>
+  </link>
+  <joint name="shoulder" type="revolute">
+    <parent link="base"/>
+    <child link="arm1"/>
+    <origin xyz="0.0 -0.1 0"/>
+    <axis xyz="0 0 1"/>
+    <limit lower="-2.0" upper="2.0"/>
+  </joint>
+  <joint name="elbow" type="continuous">
+    <parent link="arm1"/>
+    <child link="arm2"/>
+    <origin xyz="0 -0.5 0"/>
+    <axis xyz="0 0 1"/>
+  </joint>
+</robot>
+"""
+
+
+def test_load_pendulum_structure():
+    w = PhysicsWorld(gravity=(0, -9.81, 0))
+    h = load_urdf(PENDULUM, w, root_translation=(0, 2, 0), fixed_base=True)
+    assert set(h.bodies) == {"base", "arm1", "arm2"}
+    assert set(h.joints) == {"shoulder", "elbow"}
+    w.build()
+    # Kinematic chain poses: arm1 at base - 0.1, arm2 at arm1 - 0.5.
+    np.testing.assert_allclose(w.body_translation(h.bodies["base"]), [0, 2, 0], atol=1e-6)
+    np.testing.assert_allclose(w.body_translation(h.bodies["arm1"]), [0, 1.9, 0], atol=1e-6)
+    np.testing.assert_allclose(w.body_translation(h.bodies["arm2"]), [0, 1.4, 0], atol=1e-6)
+
+
+def test_pendulum_swings_and_holds_together():
+    w = PhysicsWorld(gravity=(-3.0, -9.81, 0.0))  # sideways pull starts a swing
+    h = load_urdf(PENDULUM, w, root_translation=(0, 2, 0), fixed_base=True)
+    w.build()
+    w.step(240)
+    base = w.body_translation(h.bodies["base"])
+    arm1 = w.body_translation(h.bodies["arm1"])
+    arm2 = w.body_translation(h.bodies["arm2"])
+    assert np.isfinite(arm2).all()
+    np.testing.assert_allclose(base, [0, 2, 0], atol=1e-6)  # fixed base
+    # Anchors hold: arm1 origin stays ~0.1 from base.
+    assert abs(np.linalg.norm(arm1 - base) - 0.1) < 0.05
+    # Chain swung out of the vertical.
+    assert arm2[0] < -0.05
+    # Planar (z = 0) motion only.
+    assert abs(arm1[2]) < 1e-2 and abs(arm2[2]) < 1e-2
