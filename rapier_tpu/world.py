@@ -766,3 +766,109 @@ class PhysicsWorld:
 
     def restore(self, snap: SceneState):
         self.state = snap
+
+    # ------------------------------------------------------------------
+    # Scene queries (reference PhysicsWorld::cast_ray & co,
+    # physics_world.rs:103-790)
+    # ------------------------------------------------------------------
+    def cast_ray(self, origin, direction, max_toi=1e30, **kw):
+        from rapier_tpu.geometry import queries
+
+        return queries.cast_ray(
+            self.state.bodies, self.state.colliders,
+            jnp.asarray(origin, jnp.float32), jnp.asarray(direction, jnp.float32),
+            max_toi=max_toi, **kw,
+        )
+
+    def project_point(self, point, solid: bool = True, **kw):
+        from rapier_tpu.geometry import queries
+
+        return queries.project_point(
+            self.state.bodies, self.state.colliders,
+            jnp.asarray(point, jnp.float32), solid=solid, **kw,
+        )
+
+    def intersections_with_point(self, point, **kw):
+        from rapier_tpu.geometry import queries
+
+        return queries.intersections_with_point(
+            self.state.bodies, self.state.colliders,
+            jnp.asarray(point, jnp.float32), **kw,
+        )
+
+    def cast_shape(self, shape_type, shape_params, pos, rot, direction,
+                   max_toi, **kw):
+        from rapier_tpu.geometry import queries
+
+        return queries.cast_shape(
+            self.state.bodies, self.state.colliders,
+            int(shape_type), jnp.asarray(shape_params, jnp.float32),
+            jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
+            jnp.asarray(direction, jnp.float32), max_toi, **kw,
+        )
+
+    # ------------------------------------------------------------------
+    # Contact introspection (reference contact_pair(s)_with)
+    # ------------------------------------------------------------------
+    def contact_pairs_with(self, collider: int):
+        """Indices of contact lanes involving `collider` that are touching."""
+        c = self.state.contacts
+        mask = np.asarray(c.touching) & (
+            (np.asarray(c.collider1) == collider)
+            | (np.asarray(c.collider2) == collider)
+        )
+        return np.where(mask)[0]
+
+    def contacts_with(self, collider: int):
+        """List of (other_collider, normal, points, dists) for touching pairs."""
+        c = self.state.contacts
+        out = []
+        for p in self.contact_pairs_with(collider):
+            c1 = int(c.collider1[p])
+            c2 = int(c.collider2[p])
+            other = c2 if c1 == collider else c1
+            pts = np.asarray(c.point[p])[np.asarray(c.point_active[p])]
+            dst = np.asarray(c.dist[p])[np.asarray(c.point_active[p])]
+            nrm = np.asarray(c.normal[p])
+            out.append((other, nrm, pts, dst))
+        return out
+
+    def intersection_pairs_with(self, collider: int):
+        """Touching pairs where either collider is a sensor."""
+        c = self.state.contacts
+        sens = np.asarray(self.state.colliders.sensor)
+        mask = np.asarray(c.touching) & (
+            (np.asarray(c.collider1) == collider)
+            | (np.asarray(c.collider2) == collider)
+        )
+        out = []
+        for p in np.where(mask)[0]:
+            c1, c2 = int(c.collider1[p]), int(c.collider2[p])
+            if sens[c1] or sens[c2]:
+                out.append(c2 if c1 == collider else c1)
+        return out
+
+    # ------------------------------------------------------------------
+    # Snapshots to disk (reference serde snapshots, SURVEY §5.4)
+    # ------------------------------------------------------------------
+    def save_snapshot(self, path: str):
+        """Serialize the full SceneState to an .npz file."""
+        import dataclasses as _dc
+
+        flat, treedef = jax.tree.flatten(self.state)
+        np.savez(
+            path,
+            *[np.asarray(x) for x in flat],
+            __treedef__=np.frombuffer(
+                repr(treedef).encode(), dtype=np.uint8
+            ),
+        )
+
+    def load_snapshot(self, path: str):
+        """Restore a SceneState saved by save_snapshot (capacities must match
+        the current world, mirroring the reference's deserialize-into-sets)."""
+        data = np.load(path)
+        arrs = [data[k] for k in data.files if k != "__treedef__"]
+        _, treedef = jax.tree.flatten(self.state)
+        self.state = jax.tree.unflatten(treedef, [jnp.asarray(a) for a in arrs])
+        return self.state

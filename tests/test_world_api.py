@@ -1,0 +1,77 @@
+"""PhysicsWorld facade API tests (queries, contacts, snapshots)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from rapier_tpu.world import ColliderBuilder, PhysicsWorld, RigidBodyBuilder
+
+
+@pytest.fixture(scope="module")
+def settled():
+    w = PhysicsWorld()
+    g = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, -1, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(50, 1, 50), g)
+    b = w.insert_body(RigidBodyBuilder.dynamic().with_translation((0, 0.6, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(0.5, 0.5, 0.5), b)
+    sensor_body = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, 0.5, 0)))
+    w.insert_collider(ColliderBuilder.ball(2.0).as_sensor(), sensor_body)
+    w.build()
+    w.step(60)
+    return w, b
+
+
+def test_world_cast_ray(settled):
+    from rapier_tpu.geometry.queries import EXCLUDE_SENSORS
+
+    w, b = settled
+    # Without the filter the big sensor ball is hit first.
+    hit_any = w.cast_ray((0.0, 5.0, 0.0), (0.0, -1.0, 0.0))
+    assert int(hit_any.collider) == 2
+    hit = w.cast_ray((0.0, 5.0, 0.0), (0.0, -1.0, 0.0), flags=EXCLUDE_SENSORS)
+    assert bool(hit.hit)
+    assert int(hit.collider) == 1  # the box
+    assert abs(float(hit.point[1]) - 1.0) < 0.05
+
+
+def test_world_project_point(settled):
+    from rapier_tpu.geometry.queries import EXCLUDE_SENSORS
+
+    w, b = settled
+    proj = w.project_point((0.0, 3.0, 0.0), flags=EXCLUDE_SENSORS)
+    assert abs(float(proj.point[1]) - 1.0) < 0.05
+
+
+def test_contacts_with(settled):
+    w, b = settled
+    pairs = w.contact_pairs_with(1)
+    assert len(pairs) >= 1
+    contacts = w.contacts_with(1)
+    others = [c[0] for c in contacts]
+    assert 0 in others  # touching the ground collider
+    other, normal, pts, dists = contacts[others.index(0)]
+    assert len(pts) >= 1
+    assert np.all(dists < 0.01)
+
+
+def test_intersections_with_sensor(settled):
+    w, b = settled
+    # The big sensor ball overlaps the box collider (index 1).
+    assert 2 in w.intersection_pairs_with(1)
+
+
+def test_snapshot_file_roundtrip(settled):
+    w, b = settled
+    p0 = w.body_translation(b).copy()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "snap.npz")
+        w.save_snapshot(path)
+        w.step(30)
+        moved = w.body_translation(b)
+        w.load_snapshot(path)
+        np.testing.assert_array_equal(w.body_translation(b), p0)
+        # Deterministic resume: same steps give the same trajectory.
+        w.step(30)
+        np.testing.assert_array_equal(w.body_translation(b), moved)
