@@ -30,6 +30,8 @@ class ManifoldBatch(NamedTuple):
     active_events_or: jax.Array  # [P] int32
     active_hooks_or: jax.Array   # [P] int32
     force_threshold: jax.Array   # [P] f32
+    dyn1: jax.Array              # [P] bool — body1 exists and is dynamic
+    dyn2: jax.Array              # [P] bool
     body1: jax.Array       # [P] int32 (-1 = static environment)
     body2: jax.Array       # [P] int32
     pair_key: jax.Array    # [P] int32 (c1 * C + c2, c1 < c2; -1 invalid)
@@ -158,6 +160,7 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
         colliders.active_hooks[:, None].astype(f32),        # 31
         # inf would poison the one-hot matmul (0*inf = NaN): clamp.
         jnp.minimum(colliders.contact_force_event_threshold, 3.0e38)[:, None],  # 32
+        bt_c[:, None].astype(f32),                          # 33
     ], axis=1)
 
     ids_c = jnp.arange(n_coll)
@@ -294,6 +297,8 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
             T1[:, 31].astype(jnp.int32) | T2[:, 31].astype(jnp.int32)
         ),
         force_threshold=jnp.minimum(T1[:, 32], T2[:, 32]),
+        dyn1=(b1 >= 0) & (T1[:, 33].astype(jnp.int32) == int(BodyType.DYNAMIC)),
+        dyn2=(b2 >= 0) & (T2[:, 33].astype(jnp.int32) == int(BodyType.DYNAMIC)),
         body1=b1, body2=b2, pair_key=pair_key,
         normal=normal, point=point, dist=dist, fid=fid,
         point_valid=pvalid & pair_valid[:, None],
@@ -474,6 +479,8 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
             colliders.contact_force_event_threshold[lo_c],
             colliders.contact_force_event_threshold[hi_c],
         ),
+        dyn1=(b1 >= 0) & (bt1 == BodyType.DYNAMIC),
+        dyn2=(b2 >= 0) & (bt2 == BodyType.DYNAMIC),
         body1=b1, body2=b2, pair_key=pair_key,
         normal=normal, point=point, dist=dist, fid=fid,
         point_valid=pvalid, point_active=point_active,

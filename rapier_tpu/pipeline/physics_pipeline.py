@@ -234,17 +234,23 @@ def step(state: SceneState, params: SimParams, hooks=None):
     dyn = bodies.body_type == BodyType.DYNAMIC
 
     # Interaction graph edges: touching contact pairs + enabled joints
-    # (both drive island-style wake/sleep propagation).
+    # (both drive island-style wake/sleep propagation).  Contact-pair dynamic
+    # flags come from the dispatcher's staging table (no gathers).
     eb1 = man.body1
     eb2 = man.body2
     emask = man.touching & (eb1 >= 0) & (eb2 >= 0)
+    edyn = man.dyn1 & man.dyn2
     joints = state.joints if joints is None else joints
     if joints is not None:
         eb1 = jnp.concatenate([eb1, joints.body1])
         eb2 = jnp.concatenate([eb2, joints.body2])
         jmask = joints.enabled & (joints.body1 >= 0) & (joints.body2 >= 0)
         emask = jnp.concatenate([emask, jmask])
-    edge_dd = emask & dyn[jnp.maximum(eb1, 0)] & dyn[jnp.maximum(eb2, 0)]
+        jdyn = (
+            dyn[jnp.maximum(joints.body1, 0)] & dyn[jnp.maximum(joints.body2, 0)]
+        )
+        edyn = jnp.concatenate([edyn, jdyn])
+    edge_dd = emask & edyn
 
     # Adjacency of the dynamic-dynamic interaction graph as a dense [N, N]
     # matrix (N is the body capacity; matvec propagation beats TPU scatters).
@@ -281,13 +287,24 @@ def step(state: SceneState, params: SimParams, hooks=None):
 
     # Pairs where one side is sleeping never reach the solver (both sleep
     # together or the awake side woke them above).
-    asleep1 = (man.body1 >= 0) & sleeping[jnp.maximum(man.body1, 0)]
-    asleep2 = (man.body2 >= 0) & sleeping[jnp.maximum(man.body2, 0)]
+    # Sleeping lookups as one-hot matmuls (fresh: `sleeping` was updated by
+    # the wake pass above).
+    sent = n
+    body_ids_s = jnp.arange(n + 1)
+    slp_ext = jnp.concatenate([sleeping, jnp.zeros((1,), bool)]).astype(jnp.float32)
+    ohb1 = (
+        jnp.where(man.body1 >= 0, man.body1, sent)[:, None] == body_ids_s[None, :]
+    ).astype(jnp.float32)
+    ohb2 = (
+        jnp.where(man.body2 >= 0, man.body2, sent)[:, None] == body_ids_s[None, :]
+    ).astype(jnp.float32)
+    asleep1 = (man.body1 >= 0) & ((ohb1 @ slp_ext) > 0)
+    asleep2 = (man.body2 >= 0) & ((ohb2 @ slp_ext) > 0)
     solver_pair = man.solver_pair & ~asleep1 & ~asleep2
     man = man._replace(solver_pair=solver_pair)
 
-    dyn1 = (man.body1 >= 0) & dyn[jnp.maximum(man.body1, 0)] & ~asleep1
-    dyn2 = (man.body2 >= 0) & dyn[jnp.maximum(man.body2, 0)] & ~asleep2
+    dyn1 = man.dyn1 & ~asleep1
+    dyn2 = man.dyn2 & ~asleep2
     color, num_colors = color_constraints(
         man.body1, man.body2, dyn1, dyn2, solver_pair, n, params.max_colors
     )
@@ -383,6 +400,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
             total_tan[:, None, :], (max_pairs, 4, 2)
         ),
         friction=man.friction, restitution=man.restitution,
+        events_or=man.active_events_or,
     )
 
     # Contact force events (physics_pipeline.rs:338-363): total manifold
@@ -395,10 +413,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
 
     collision_gate = (man.active_events_or & ACTIVE_EVENTS_COLLISION) != 0
     force_gate = (man.active_events_or & ACTIVE_EVENTS_CONTACT_FORCE) != 0
-    prev_eflags = (
-        colliders.active_events[jnp.maximum(prev_c.collider1, 0)]
-        | colliders.active_events[jnp.maximum(prev_c.collider2, 0)]
-    )
+    prev_eflags = prev_c.events_or
     force_events = man.touching & (force_mag > thr) & force_gate
 
     new_state = SceneState(

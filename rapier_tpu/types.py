@@ -237,6 +237,9 @@ class Contacts:
     # Effective material at this pair.
     friction: jax.Array      # [P]
     restitution: jax.Array   # [P]
+    # OR of the two colliders' ActiveEvents flags (persisted so stopped-event
+    # gating needs no collider gathers next step).
+    events_or: jax.Array     # [P] int32
 
     @property
     def max_pairs(self) -> int:
@@ -300,6 +303,7 @@ def empty_contacts(p: int) -> Contacts:
         warmstart_twist_impulse=_f((p,)),
         impulse=_f((p, 4)), tangent_impulse=_f((p, 4, 2)),
         friction=_f((p,)), restitution=_f((p,)),
+        events_or=_i((p,)),
     )
 
 
