@@ -42,24 +42,31 @@ def main():
     )
     params = world.params
 
+    # Chunk the scan: one long device program (50 steps x ~1s at 2048 scenes)
+    # can exceed the TPU tunnel's RPC deadline (UNAVAILABLE device errors).
+    chunk = min(n_steps, 10)
+    n_chunks = max(n_steps // chunk, 1)
+
     @jax.jit
-    def run_steps(state, params):
+    def run_chunk(state, params):
         def body(s, _):
             s2, _ev = jax.vmap(step, in_axes=(0, None))(s, params)
             return s2, ()
-        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        state, _ = jax.lax.scan(body, state, None, length=chunk)
         return state
 
     # Warmup / compile.
     t0 = time.time()
-    out = run_steps(batch, params)
+    out = run_chunk(batch, params)
     jax.block_until_ready(out)
     compile_and_first = time.time() - t0
 
     t0 = time.time()
-    out = run_steps(out, params)
+    for _ in range(n_chunks):
+        out = run_chunk(out, params)
     jax.block_until_ready(out)
     elapsed = time.time() - t0
+    n_steps = chunk * n_chunks
 
     env_steps_per_sec = n_scenes * n_steps / elapsed
     vs_baseline = env_steps_per_sec / BASELINE_SINGLE_SCENE_STEPS_PER_SEC
