@@ -2,7 +2,7 @@
 
 Covers every convex shape pair that lacks a specialized analytic kernel
 (cylinder/cone vs anything, and future convex hulls) — the TPU-friendly
-替代 for parry's GJK/EPA dispatch (SURVEY §7 hard-part #4: "analytic kernels
+replacement for parry's GJK/EPA dispatch (SURVEY §7 hard-part #4: "analytic kernels
 for the 90% shape pairs and fixed-iteration [schemes] with masks for the
 rest").  Strategy:
 

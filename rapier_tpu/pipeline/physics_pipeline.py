@@ -189,14 +189,23 @@ def step(state: SceneState, params: SimParams, hooks=None):
         if hooks.modify_solver_contacts is not None:
             gate = (hflags & ACTIVE_HOOKS_MODIFY_SOLVER_CONTACTS) != 0
             mod = hooks.modify_solver_contacts(bodies, colliders, man)
-            man = jax.tree.map(
-                lambda new, old: jnp.where(
-                    gate.reshape(gate.shape + (1,) * (old.ndim - 1))
-                    if old.ndim >= 1 and old.shape[:1] == gate.shape else False,
-                    new, old,
-                ),
-                mod, man,
+            # Explicit whitelist of hook-writable fields — the reference only
+            # exposes the solver-contact payload (physics_hooks.rs:31:
+            # points/dist/friction/restitution/tangent surface velocity),
+            # never pair identity (pair_key/body1/body2) or validity masks.
+            HOOK_WRITABLE = (
+                "point", "dist", "normal", "friction", "restitution",
+                "surface_velocity", "point_active",
             )
+            updates = {}
+            for f in HOOK_WRITABLE:
+                if not hasattr(man, f):
+                    continue
+                old = getattr(man, f)
+                new = getattr(mod, f)
+                g = gate.reshape(gate.shape + (1,) * (old.ndim - 1))
+                updates[f] = jnp.where(g, new, old)
+            man = man._replace(**updates)
 
     # ------------------------------------------------------------------
     # 4. Warmstart matching + events bookkeeping.
