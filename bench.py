@@ -1,14 +1,23 @@
-"""Headline benchmark: env-steps/sec of 4096 vmapped ~100-body scenes.
+"""Headline benchmark: env-steps/sec of vmapped ~100-body scenes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline (BASELINE.md): the reference (rapier3d) cannot be built in this image
 (no Rust toolchain), so the single-scene CPU baseline is the documented
 estimate of 5,000 steps/sec (0.2 ms/step) for a ~100-body mixed-primitives
-scene on one modern CPU core — consistent with the benchbot's published
-per-scene millisecond range for comparable stress scenes.  vs_baseline =
-(our total env-steps/sec) / (baseline steps/sec): >1 means one TPU chip
-simulates faster than one rapier CPU instance; 4096 means per-env parity.
+scene on one modern CPU core.  vs_baseline = (our total env-steps/sec) /
+(baseline steps/sec): >1 means one TPU chip simulates faster than one rapier
+CPU instance; 4096 means per-env parity.
+
+TIMING HONESTY (critical on the axon TPU tunnel): `jax.block_until_ready`
+does NOT actually wait while the process is in async-dispatch mode —
+executions merely enqueue.  The only reliable sync is a device->host
+transfer.  This bench therefore (a) keeps ALL scene construction host-side
+(numpy) so the process stays in fast async mode, (b) drains the pipeline
+with a D2H checksum fetch immediately before starting the clock, and
+(c) fetches a checksum INSIDE the timed region to force completion of the
+timed work.  Benchmarks are measured on SETTLED scenes (contacts active) —
+steps on airborne scenes skip all solver work and flatter the numbers.
 """
 
 from __future__ import annotations
@@ -24,26 +33,22 @@ BASELINE_SINGLE_SCENE_STEPS_PER_SEC = 5000.0
 
 
 def main():
-    # 4096 scenes needs ~28GB HBM at the current memory footprint (>16GB on a
-    # single v5e chip); 2048 fits.  Multi-chip sharding reaches 4096+.
     n_scenes = int(os.environ.get("BENCH_SCENES", "2048"))
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    settle_steps = int(os.environ.get("BENCH_SETTLE", "150"))
 
     from rapier_tpu.pipeline.physics_pipeline import step
     from rapier_tpu.scenes import mixed_primitives_world, replicate_scene
 
-    # ~100 bodies: 4 layers x 5x5 grid + ground.  max_pairs sized to the
-    # scene's real contact count (~400) — the warmstart join is O(P^2).
+    # ~100 bodies: 4 layers x 5x5 grid + ground.
     world = mixed_primitives_world(num_layers=4, grid=5, max_pairs=512)
-    state0 = world.build()
+    state0 = world.build()          # numpy leaves: no device transfers yet
     batch = jax.device_put(
         jax.tree.map(jnp.asarray, replicate_scene(state0, n_scenes)),
         jax.devices()[0],
     )
-    params = world.params
+    params = world.params           # numpy-leaf pytree (passed as explicit arg)
 
-    # Chunk the scan: one long device program (50 steps x ~1s at 2048 scenes)
-    # can exceed the TPU tunnel's RPC deadline (UNAVAILABLE device errors).
     chunk = min(n_steps, 10)
     n_chunks = max(n_steps // chunk, 1)
 
@@ -55,30 +60,36 @@ def main():
         state, _ = jax.lax.scan(body, state, None, length=chunk)
         return state
 
-    # Warmup / compile.
-    t0 = time.time()
+    @jax.jit
+    def checksum(state):
+        return jnp.sum(state.bodies.pos) + jnp.sum(jnp.abs(state.bodies.linvel))
+
+    # Warmup/compile + settle so contacts exist (solver does real work).
     out = run_chunk(batch, params)
-    jax.block_until_ready(out)
-    compile_and_first = time.time() - t0
+    for _ in range(max(settle_steps // chunk - 1, 0)):
+        out = run_chunk(out, params)
+    # Drain everything queued so far (D2H sync; flips the process into
+    # synchronous dispatch, which only adds ~0.3-25 ms per *chunk* — noise
+    # against chunk runtimes).
+    float(checksum(out))
 
     t0 = time.time()
     for _ in range(n_chunks):
         out = run_chunk(out, params)
-    jax.block_until_ready(out)
+    cs = float(checksum(out))       # forces completion of the timed work
     elapsed = time.time() - t0
-    n_steps = chunk * n_chunks
+    assert jnp.isfinite(cs), "non-finite state after bench run"
+    total_steps = chunk * n_chunks
 
-    env_steps_per_sec = n_scenes * n_steps / elapsed
+    env_steps_per_sec = n_scenes * total_steps / elapsed
     vs_baseline = env_steps_per_sec / BASELINE_SINGLE_SCENE_STEPS_PER_SEC
 
     print(json.dumps({
-        "metric": f"env-steps/sec, {n_scenes} vmapped ~100-body scenes",
+        "metric": f"env-steps/sec, {n_scenes} vmapped ~100-body scenes (settled)",
         "value": round(env_steps_per_sec, 1),
         "unit": "env-steps/sec",
         "vs_baseline": round(vs_baseline, 2),
     }))
-    # Diagnostics on stderr-adjacent extra lines are avoided: single JSON line
-    # only, per driver contract.
 
 
 if __name__ == "__main__":

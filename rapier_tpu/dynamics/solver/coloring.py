@@ -48,7 +48,9 @@ def color_constraints(b1, b2, dyn1, dyn2, valid, n_bodies: int, max_colors: int)
     t2 = jnp.where(dyn2, b2, sent)
 
     # One-hot body-membership masks (hoisted out of the rounds): per-body max
-    # becomes a masked broadcast reduction — no TPU scatters.
+    # becomes a masked broadcast reduction — no TPU scatters, and the
+    # per-lane "am I my bodies' max?" test is a masked reduction over the same
+    # one-hots (no gathers either; TPU batched 1D gathers serialize).
     body_ids = jnp.arange(n_bodies + 1)
     oh1 = t1[:, None] == body_ids[None, :]   # [K, N+1] bool
     oh2 = t2[:, None] == body_ids[None, :]
@@ -59,10 +61,10 @@ def color_constraints(b1, b2, dyn1, dyn2, valid, n_bodies: int, max_colors: int)
         bw = jnp.maximum(
             jnp.max(jnp.where(oh1, wm, jnp.uint32(0)), axis=0),
             jnp.max(jnp.where(oh2, wm, jnp.uint32(0)), axis=0),
-        )
-        ok1 = ~dyn1 | (bw[t1] == w)
-        ok2 = ~dyn2 | (bw[t2] == w)
-        sel = unc & ok1 & ok2
+        )[None, :]
+        bw1 = jnp.max(jnp.where(oh1, bw, jnp.uint32(0)), axis=1)
+        bw2 = jnp.max(jnp.where(oh2, bw, jnp.uint32(0)), axis=1)
+        sel = unc & (~dyn1 | (bw1 == w)) & (~dyn2 | (bw2 == w))
         color = jnp.where(sel, r, color)
 
     color = jnp.where(valid & (color < 0), max_colors - 1, color)

@@ -122,10 +122,10 @@ def compute_tangent_directions(dir1, linvel1, linvel2):
 
 
 def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
-    """Build constraint lanes from a ManifoldBatch (row-major [P, ...] input;
-    transposed once here into the lane-last layout).
+    """Build constraint lanes from a ManifoldBatch (lane-last layout
+    throughout; no transposes needed).
 
-    prev_impulse: [P, 4] total normal impulse of the matched contact from the
+    prev_impulse: [4, P] total normal impulse of the matched contact from the
     previous step (0 for new contacts) — drives is_bouncy
     (reference contact_pair.rs:576-585).
     """
@@ -149,12 +149,12 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
     ii1 = jnp.einsum("abn,pn->abp", sb.ii, oh1)   # [3, 3, P]
     ii2 = jnp.einsum("abn,pn->abp", sb.ii, oh2)
 
-    dir1 = -man.normal.T              # [3, P]
+    dir1 = -man.normal                # [3, P]
     tangent1 = compute_tangent_directions(dir1, v1l, v2l)
     tangent2 = cross_cl(dir1, tangent1)
 
-    pts = jnp.transpose(man.point, (1, 2, 0))     # [4, 3, P]
-    pmask = man.point_active.T                     # [4, P]
+    pts = man.point                                # [4, 3, P]
+    pmask = man.point_active                       # [4, P]
     fmask = pmask.astype(jnp.float32)
     npts = jnp.sum(fmask, axis=0)
     inv_np = 1.0 / jnp.maximum(npts, 1.0)
@@ -184,7 +184,7 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
 
     proj_vel = jnp.sum((vel1 - vel2) * dir1[None], axis=1)   # [4, P]
     restitution = man.restitution[None]            # [1, P]
-    is_new = prev_impulse.T == 0.0                 # [4, P]
+    is_new = prev_impulse == 0.0                   # [4, P]
     is_bouncy = jnp.where(is_new, restitution > 0.0, restitution >= 1.0)
     normal_vel_rhs = is_bouncy.astype(jnp.float32) * restitution * proj_vel
 
@@ -233,7 +233,7 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
         torque_dir1=td1, torque_dir2=td2,
         ii_torque_dir1=iitd1, ii_torque_dir2=iitd2,
         r=r, local_p1=local_p1, local_p2=local_p2,
-        dist0=man.dist.T, normal_vel_rhs=normal_vel_rhs,
+        dist0=man.dist, normal_vel_rhs=normal_vel_rhs,
         rhs=z4, rhs_wo_bias=z4,
         impulse=z4,  # warmstart impulses folded in by the caller
         impulse_acc=z4,
@@ -249,23 +249,37 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
     )
 
 
-def update(c: ContactConstraints, sb: SolverBodies, *, cfm_factor, inv_dt,
-           allowed_lin_err, erp_inv_dt, max_corrective_velocity,
+def pair_onehots(c: ContactConstraints, n1: int):
+    """The [P, N+1] one-hot gather/scatter matrices for both endpoints.
+
+    Computed ONCE per step and threaded through every substep/color pass —
+    rebuilding them inside the sweep loops costs 2x[P,N+1] equality+cast per
+    pass (dozens of passes per step), pure HBM traffic."""
+    return _onehot(c.b1, n1), _onehot(c.b2, n1)
+
+
+def update(c: ContactConstraints, sb: SolverBodies, oh1, oh2, *, cfm_factor,
+           inv_dt, allowed_lin_err, erp_inv_dt, max_corrective_velocity,
            warmstart_coeff) -> ContactConstraints:
     """Per-substep soft-constraint rhs recompute from current solver poses
     (reference contact_with_twist_friction.rs:251-330).  Rate arguments are
     for the SUBSTEP dt."""
-    n1 = sb.v_lin.shape[1]
-    oh1 = _onehot(c.b1, n1)
-    oh2 = _onehot(c.b2, n1)
     com1 = _gather_cl(sb.com, oh1)
     com2 = _gather_cl(sb.com, oh2)
     rot1 = _gather_cl(sb.rot, oh1)
     rot2 = _gather_cl(sb.rot, oh2)
 
-    p1 = jnp.stack([com1 + rotate_cl(rot1, c.local_p1[k]) for k in range(4)])
-    p2 = jnp.stack([com2 + rotate_cl(rot2, c.local_p2[k]) for k in range(4)])
-    dist = c.dist0 + jnp.sum((p1 - p2) * c.dir1[None], axis=1)   # [4, P]
+    # Per-point unrolled (k=0..3): keeps every reduction an explicit 3-term
+    # dot over fresh [3, P] values — Mosaic (Pallas TPU) rejects sublane-axis
+    # jnp.sum over sliced views (see pallas_sweep.py).
+    dist = c.dist0 + jnp.stack([
+        dot_cl(
+            (com1 + rotate_cl(rot1, c.local_p1[k]))
+            - (com2 + rotate_cl(rot2, c.local_p2[k])),
+            c.dir1,
+        )
+        for k in range(4)
+    ])                                                           # [4, P]
 
     rhs_wo_bias = c.normal_vel_rhs + jnp.maximum(dist, 0.0) * inv_dt
     rhs_bias = jnp.clip(
@@ -279,8 +293,10 @@ def update(c: ContactConstraints, sb: SolverBodies, *, cfm_factor, inv_dt,
     fc1 = com1 + rotate_cl(rot1, c.local_fc1)
     fc2 = com2 + rotate_cl(rot2, c.local_fc2)
     tangent2 = cross_cl(c.dir1, c.tangent1)
-    tans = jnp.stack([c.tangent1, tangent2])
-    bias_t = jnp.sum((fc1 - fc2)[None] * tans, axis=1) * inv_dt
+    dfc = fc1 - fc2
+    bias_t = jnp.stack(
+        [dot_cl(dfc, c.tangent1), dot_cl(dfc, tangent2)]
+    ) * inv_dt
     tan_rhs = c.tan_rhs_wo_bias + bias_t
     tan_impulse_acc = c.tan_impulse_acc + c.tan_impulse
     tan_impulse = c.tan_impulse * warmstart_coeff
@@ -297,17 +313,18 @@ def update(c: ContactConstraints, sb: SolverBodies, *, cfm_factor, inv_dt,
     )
 
 
-def warmstart(c: ContactConstraints, sb: SolverBodies) -> SolverBodies:
+def warmstart(c: ContactConstraints, sb: SolverBodies, oh1, oh2) -> SolverBodies:
     """Apply cached impulses to body velocities.  Pure accumulation, so one
     matmul-scatter over ALL lanes is exact (no coloring needed)."""
     act = c.valid[None, :] & c.point_mask             # [4, P]
     imp = c.impulse * act.astype(jnp.float32)
-    imp_sum = jnp.sum(imp, axis=0)                    # [P]
+    imp_sum = imp[0] + imp[1] + imp[2] + imp[3]       # [P]
 
     dv1 = c.dir1 * c.im1 * imp_sum[None]
-    dw1 = jnp.sum(c.ii_torque_dir1 * imp[:, None, :], axis=0)
     dv2 = -c.dir1 * c.im2 * imp_sum[None]
-    dw2 = jnp.sum(c.ii_torque_dir2 * imp[:, None, :], axis=0)
+    # Unrolled point-axis sums (Mosaic reduction-layout restriction).
+    dw1 = sum(c.ii_torque_dir1[k] * imp[k][None] for k in range(4))
+    dw2 = sum(c.ii_torque_dir2[k] * imp[k][None] for k in range(4))
 
     vmask = c.valid.astype(jnp.float32)
     t2 = cross_cl(c.dir1, c.tangent1)
@@ -321,15 +338,12 @@ def warmstart(c: ContactConstraints, sb: SolverBodies) -> SolverBodies:
     dw1 = dw1 + c.twist_ii_dir1 * wi[None]
     dw2 = dw2 + c.twist_ii_dir2 * wi[None]
 
-    n1 = sb.v_lin.shape[1]
-    oh1 = _onehot(c.b1, n1)
-    oh2 = _onehot(c.b2, n1)
     v_lin = sb.v_lin + dv1 @ oh1 + dv2 @ oh2
     v_ang = sb.v_ang + dw1 @ oh1 + dw2 @ oh2
     return sb._replace(v_lin=v_lin, v_ang=v_ang)
 
 
-def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, *,
+def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
                 use_bias: bool):
     """One Gauss-Seidel pass over the lanes of one color.
 
@@ -341,9 +355,6 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, *,
     mask = c.valid & (c.color == color_id)
     fmask = mask.astype(jnp.float32)
 
-    n1 = sb.v_lin.shape[1]
-    oh1 = _onehot(c.b1, n1)
-    oh2 = _onehot(c.b2, n1)
     v1 = _gather_cl(sb.v_lin, oh1)
     w1 = _gather_cl(sb.v_ang, oh1)
     v2 = _gather_cl(sb.v_lin, oh2)
@@ -353,8 +364,11 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, *,
     cfm = c.cfm_factor if use_bias else 1.0
     rhs = c.rhs if use_bias else c.rhs_wo_bias
 
-    impulses = c.impulse
-    # Normal parts, sequential over the (at most) 4 points.
+    # Normal parts, sequential over the (at most) 4 points.  Rows are kept
+    # unstacked through the loop: a static-index `.at[k].add` still lowers to
+    # a scatter-add primitive, which Mosaic (the Pallas TPU compiler) rejects
+    # inside the VMEM-resident sweep kernel (pallas_sweep.py).
+    imp_rows = [c.impulse[k] for k in range(4)]
     for k in range(4):
         pm = (mask & c.point_mask[k]).astype(jnp.float32)
         dvel = (
@@ -362,19 +376,22 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, *,
             - dot_cl(c.dir1, v2) + dot_cl(c.torque_dir2[k], w2)
             + rhs[k]
         )
-        new_imp = cfm * jnp.maximum(impulses[k] - c.r[k] * dvel, 0.0)
-        dl = (new_imp - impulses[k]) * pm
-        impulses = impulses.at[k].add(dl)
+        new_imp = cfm * jnp.maximum(imp_rows[k] - c.r[k] * dvel, 0.0)
+        dl = (new_imp - imp_rows[k]) * pm
+        imp_rows[k] = imp_rows[k] + dl
         v1 = v1 + c.dir1 * c.im1 * dl[None]
         w1 = w1 + c.ii_torque_dir1[k] * dl[None]
         v2 = v2 - c.dir1 * c.im2 * dl[None]
         w2 = w2 + c.ii_torque_dir2[k] * dl[None]
+    impulses = jnp.stack(imp_rows)
 
     # Friction limits scale with the solved normal impulses
-    # (contact_with_twist_friction.rs:430-445).
+    # (contact_with_twist_friction.rs:430-445).  Point-axis sums unrolled
+    # (Mosaic reduction-layout restriction, see pallas_sweep.py).
     act = c.point_mask.astype(jnp.float32)
-    tangent_limit = jnp.sum(impulses * act, axis=0) * c.limit
-    twist_limit = jnp.sum(impulses * act * c.twist_dists, axis=0) * c.limit
+    act_rows = [act[k] * imp_rows[k] for k in range(4)]
+    tangent_limit = (act_rows[0] + act_rows[1] + act_rows[2] + act_rows[3]) * c.limit
+    twist_limit = sum(act_rows[k] * c.twist_dists[k] for k in range(4)) * c.limit
 
     # Coupled 2D tangent solve (contact_constraint_element.rs:161-203).
     t2 = cross_cl(c.dir1, c.tangent1)
@@ -409,7 +426,8 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, *,
     w2 = w2 + c.tan_ii_torque_dir2[0] * dl_t[0][None] + c.tan_ii_torque_dir2[1] * dl_t[1][None]
 
     # Twist (only meaningful with >= 2 points).
-    has_twist = (jnp.sum(c.point_mask.astype(jnp.int32), axis=0) > 1).astype(jnp.float32)
+    npts = act[0] + act[1] + act[2] + act[3]
+    has_twist = (npts > 1.5).astype(jnp.float32)
     dvel_tw = dot_cl(c.dir1, w1 - w2)
     new_tw = jnp.clip(
         c.twist_impulse - c.twist_r * dvel_tw, -twist_limit, twist_limit

@@ -160,10 +160,35 @@ def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
         jnp.zeros((1,), bool),
     ])
 
+    # Contacts-only scenes take the VMEM-resident Pallas sweep on TPU: the
+    # whole substep/color loop runs in one kernel per scene instead of
+    # re-reading the constraint set from HBM every color pass.
+    backend = params.solver_backend
+    if joints is None and backend != "jax" and (
+        backend == "pallas" or jax.default_backend() == "tpu"
+    ):
+        from rapier_tpu.dynamics.solver import pallas_sweep
+
+        sb, constraints = pallas_sweep.solve(
+            sb, constraints, num_colors, dv_inc, dw_inc, move_mask,
+            dt_sub=dt_sub, inv_dt_sub=inv_dt_sub,
+            erp_inv_dt=erp_inv_dt, cfm_factor=cfm_factor,
+            allowed_lin_err=params.allowed_linear_error(),
+            max_corrective_velocity=params.max_corrective_velocity(),
+            warmstart_coeff=params.warmstart_coefficient,
+            n_sub=n_sub, pgs_iters=params.num_internal_pgs_iterations,
+            stab_iters=params.num_internal_stabilization_iterations,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return sb, constraints, None
+
+    # One-hot gather/scatter matrices: loop-invariant, built once.
+    oh1, oh2 = cc.pair_onehots(constraints, sb.v_lin.shape[1])
+
     def contact_sweep(constraints, sb, use_bias):
         def body_fn(ci, carry):
             cons, s = carry
-            return cc.solve_color(cons, s, ci, use_bias=use_bias)
+            return cc.solve_color(cons, s, ci, oh1, oh2, use_bias=use_bias)
         return jax.lax.fori_loop(0, num_colors, body_fn, (constraints, sb))
 
     def joint_sweep(rows, sb, use_bias):
@@ -184,14 +209,14 @@ def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
             )
 
         constraints = cc.update(
-            constraints, sb,
+            constraints, sb, oh1, oh2,
             cfm_factor=cfm_factor, inv_dt=inv_dt_sub,
             allowed_lin_err=params.allowed_linear_error(),
             erp_inv_dt=erp_inv_dt,
             max_corrective_velocity=params.max_corrective_velocity(),
             warmstart_coeff=params.warmstart_coefficient,
         )
-        sb = cc.warmstart(constraints, sb)
+        sb = cc.warmstart(constraints, sb, oh1, oh2)
 
         for _pgs in range(params.num_internal_pgs_iterations):
             if joints is not None:

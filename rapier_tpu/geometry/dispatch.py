@@ -21,7 +21,12 @@ from rapier_tpu.types import BodyType, CoefficientCombineRule, ShapeType
 
 
 class ManifoldBatch(NamedTuple):
-    """Per-pair contact manifolds + solver metadata (leading axis P)."""
+    """Per-pair contact manifolds + solver metadata.
+
+    LAYOUT: pair-lane axis LAST (component-leading).  TPU tiles the trailing
+    two dims to (8, 128); a row-major [P, 4, 3] layout pads ~85x and made the
+    narrow phase ~100x slower than lane-last in round-1 profiling.  All [P]
+    scalars are 1-D; vector/point fields put P last."""
 
     collider1: jax.Array   # [P] int32
     collider2: jax.Array   # [P] int32
@@ -35,12 +40,12 @@ class ManifoldBatch(NamedTuple):
     body1: jax.Array       # [P] int32 (-1 = static environment)
     body2: jax.Array       # [P] int32
     pair_key: jax.Array    # [P] int32 (c1 * C + c2, c1 < c2; -1 invalid)
-    normal: jax.Array      # [P, 3] world, from collider1 towards collider2
-    point: jax.Array       # [P, 4, 3] world midpoints
-    dist: jax.Array        # [P, 4] effective distance (skins subtracted)
-    fid: jax.Array         # [P, 4] int32
-    point_valid: jax.Array # [P, 4] bool — geometric validity
-    point_active: jax.Array  # [P, 4] bool — kept as solver contact
+    normal: jax.Array      # [3, P] world, from collider1 towards collider2
+    point: jax.Array       # [4, 3, P] world midpoints
+    dist: jax.Array        # [4, P] effective distance (skins subtracted)
+    fid: jax.Array         # [4, P] int32
+    point_valid: jax.Array # [4, P] bool — geometric validity
+    point_active: jax.Array  # [4, P] bool — kept as solver contact
     valid: jax.Array       # [P] bool — pair lane occupied & manifold computed
     unsupported: jax.Array # scalar int32 — overlapping pairs with no kernel
     solver_pair: jax.Array # [P] bool — participates in constraint solve
@@ -115,7 +120,8 @@ def _order_rank(t):
     return jnp.where(t == ShapeType.HALFSPACE, 1000, t)
 
 
-def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
+def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
+                      present: tuple = ()):
     """Compute contact manifolds for the pair buffer.
 
     Args:
@@ -123,7 +129,14 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
       c1, c2: [P] collider indices (c1 < c2 from the broad phase; -1 invalid).
       pair_valid: [P] bool.
       prediction: scalar prediction distance.
+      present: static tuple of ShapeType ints present in the scene (from
+        SimParams.shape_types_present); empty = unknown, run every kernel.
+        Kernels whose pair types cannot occur are skipped at trace time —
+        the TPU analog of parry's per-pair dispatch cost model.
     """
+
+    def _has(*types):
+        return (not present) or all(int(t) in present for t in types)
     P = c1.shape[0]
     n_coll = colliders.parent.shape[0]
     w_pos, w_rot = collider_world_poses(bodies, colliders)
@@ -163,146 +176,168 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction):
         bt_c[:, None].astype(f32),                          # 33
     ], axis=1)
 
+    # Lane-LAST staged table: [34, P] so every per-pair column below is a
+    # tile-friendly [d, P] array (see ManifoldBatch layout docstring).
     ids_c = jnp.arange(n_coll)
     oh_s1 = (s1[:, None] == ids_c[None, :]).astype(f32)
     oh_s2 = (s2[:, None] == ids_c[None, :]).astype(f32)
-    T1 = oh_s1 @ cols
-    T2 = oh_s2 @ cols
+    colsT = cols.T                       # [34, C]
+    T1 = colsT @ oh_s1.T                 # [34, P]
+    T2 = colsT @ oh_s2.T
 
-    t1 = T1[:, 19].astype(jnp.int32)
-    t2 = T2[:, 19].astype(jnp.int32)
+    t1 = T1[19].astype(jnp.int32)
+    t2 = T2[19].astype(jnp.int32)
     flip = _order_rank(t1) > _order_rank(t2)
-    TA = jnp.where(flip[:, None], T2, T1)
-    TB = jnp.where(flip[:, None], T1, T2)
-    cA = jnp.where(flip, s2, s1)
-    cB = jnp.where(flip, s1, s2)
-    tA = TA[:, 19].astype(jnp.int32)
-    tB = TB[:, 19].astype(jnp.int32)
-    pA, rA, prmA = TA[:, 0:3], TA[:, 3:7], TA[:, 7:19]
-    pB, rB, prmB = TB[:, 0:3], TB[:, 3:7], TB[:, 7:19]
+    TA = jnp.where(flip[None, :], T2, T1)
+    TB = jnp.where(flip[None, :], T1, T2)
+    tA = TA[19].astype(jnp.int32)
+    tB = TB[19].astype(jnp.int32)
+    pA, rA, prmA = TA[0:3], TA[3:7], TA[7:19]
+    pB, rB, prmB = TB[0:3], TB[3:7], TB[7:19]
 
-    # Run every kernel on every lane; select by type mask.
-    normal = jnp.zeros((P, 3)).at[:, 1].set(1.0)
-    point = jnp.zeros((P, 4, 3))
-    dist = jnp.full((P, 4), 1e10)
-    fid = jnp.full((P, 4), -1, jnp.int32)
-    pvalid = jnp.zeros((P, 4), bool)
+    # Run every (present) kernel on every lane; select by type mask.
+    # Kernels are written per-lane; vmap with the lane axis LAST keeps every
+    # batched intermediate tile-friendly.
+    normal = jnp.zeros((3, P)).at[1].set(1.0)
+    point = jnp.zeros((4, 3, P))
+    dist = jnp.full((4, P), 1e10)
+    fid = jnp.full((4, P), -1, jnp.int32)
+    pvalid = jnp.zeros((4, P), bool)
     matched = jnp.zeros((P,), bool)
 
     def merge(mask, man: nph.Manifold):
         nonlocal normal, point, dist, fid, pvalid, matched
-        m3 = mask[:, None]
-        m43 = mask[:, None, None]
-        m4 = mask[:, None]
-        normal = jnp.where(m3, man.normal, normal)
-        point = jnp.where(m43, man.point, point)
-        dist = jnp.where(m4, man.dist, dist)
-        fid = jnp.where(m4, man.fid, fid)
-        pvalid = jnp.where(m4, man.valid, pvalid)
+        normal = jnp.where(mask[None], man.normal, normal)
+        point = jnp.where(mask[None, None], man.point, point)
+        dist = jnp.where(mask[None], man.dist, dist)
+        fid = jnp.where(mask[None], man.fid, fid)
+        pvalid = jnp.where(mask[None], man.valid, pvalid)
         matched = matched | mask
 
+    def vlane(kern):
+        return jax.vmap(kern, in_axes=-1, out_axes=-1)
+
     for (ta, tb), kern in _PAIR_KERNELS.items():
+        if not _has(ta, tb):
+            continue
         mask = pair_valid & (tA == ta) & (tB == tb)
-        man = jax.vmap(kern)(pA, rA, prmA, pB, rB, prmB)
+        man = vlane(kern)(pA, rA, prmA, pB, rB, prmB)
         merge(mask, man)
 
     # Generic convex-convex fallback (cylinder/cone/round shapes vs anything
-    # convex without a specialized kernel above).
+    # convex without a specialized kernel above).  Skipped entirely when every
+    # present convex pair has an analytic kernel.
     from rapier_tpu.geometry.narrowphase_convex import SUPPORTED, convex_convex
 
-    convA = jnp.zeros((P,), bool)
-    convB = jnp.zeros((P,), bool)
-    for t in SUPPORTED:
-        convA = convA | (tA == t)
-        convB = convB | (tB == t)
-    cc_mask = pair_valid & ~matched & convA & convB
-    man_cc = jax.vmap(convex_convex)(pA, rA, tA, prmA, pB, rB, tB, prmB)
-    merge(cc_mask, man_cc)
+    if present:
+        pres_conv = [int(t) for t in SUPPORTED if int(t) in present]
+        need_cc = any(
+            (ShapeType(min(a, b)), ShapeType(max(a, b))) not in _PAIR_KERNELS
+            for a in pres_conv for b in pres_conv
+        )
+    else:
+        need_cc = True
+    if need_cc:
+        convA = jnp.zeros((P,), bool)
+        convB = jnp.zeros((P,), bool)
+        for t in SUPPORTED:
+            convA = convA | (tA == t)
+            convB = convB | (tB == t)
+        cc_mask = pair_valid & ~matched & convA & convB
+        man_cc = vlane(convex_convex)(pA, rA, tA, prmA, pB, rB, tB, prmB)
+        merge(cc_mask, man_cc)
 
     # Halfspace kernels: analytic for ball/capsule, generic perturbed-support
     # for the remaining convex shapes.
-    hs_mask = pair_valid & (tB == ShapeType.HALFSPACE)
-    merge(hs_mask & (tA == ShapeType.BALL),
-          jax.vmap(nph.ball_halfspace)(pA, rA, prmA, pB, rB, prmB))
-    merge(hs_mask & (tA == ShapeType.CAPSULE),
-          jax.vmap(nph.capsule_halfspace)(pA, rA, prmA, pB, rB, prmB))
-    conv_ok = jnp.zeros((P,), bool)
-    for t in _HALFSPACE_CONVEX:
-        if t in (ShapeType.BALL, ShapeType.CAPSULE):
-            continue
-        conv_ok = conv_ok | (tA == t)
-    man_hs = jax.vmap(nph.convex_halfspace)(pA, rA, tA, prmA, pB, rB, prmB)
-    merge(hs_mask & conv_ok, man_hs)
+    if _has(ShapeType.HALFSPACE):
+        hs_mask = pair_valid & (tB == ShapeType.HALFSPACE)
+        if _has(ShapeType.BALL):
+            merge(hs_mask & (tA == ShapeType.BALL),
+                  vlane(nph.ball_halfspace)(pA, rA, prmA, pB, rB, prmB))
+        if _has(ShapeType.CAPSULE):
+            merge(hs_mask & (tA == ShapeType.CAPSULE),
+                  vlane(nph.capsule_halfspace)(pA, rA, prmA, pB, rB, prmB))
+        hs_generic = [
+            t for t in _HALFSPACE_CONVEX
+            if t not in (ShapeType.BALL, ShapeType.CAPSULE) and _has(t)
+        ]
+        if hs_generic:
+            conv_ok = jnp.zeros((P,), bool)
+            for t in hs_generic:
+                conv_ok = conv_ok | (tA == t)
+            man_hs = vlane(nph.convex_halfspace)(pA, rA, tA, prmA, pB, rB, prmB)
+            merge(hs_mask & conv_ok, man_hs)
 
     # Restore original pair orientation: normal points collider1 -> collider2.
-    normal = jnp.where(flip[:, None], -normal, normal)
+    normal = jnp.where(flip[None, :], -normal, normal)
 
     # Effective distance: subtract contact skins (reference
     # narrow_phase.rs:1033 effective_contact_dist).  All material/body fields
     # read from the staged tables (no gathers).
-    skins = T1[:, 24] + T2[:, 24]
-    dist = dist - skins[:, None]
+    skins = T1[24] + T2[24]
+    dist = dist - skins[None, :]
 
     point_active = pvalid & (dist < prediction)
     # "Touching" mirrors the reference's has_any_active_contact: the pair has
     # solver contacts (within prediction).  Using dist <= 0 here flickers at
     # the soft-constraint slop boundary and spuriously wakes sleeping stacks.
-    touching = pair_valid & jnp.any(point_active, axis=-1)
+    touching = pair_valid & jnp.any(point_active, axis=0)
 
     # Material combination.
     friction = _combine_material(
-        T1[:, 20], T2[:, 20],
-        T1[:, 22].astype(jnp.int32), T2[:, 22].astype(jnp.int32),
+        T1[20], T2[20],
+        T1[22].astype(jnp.int32), T2[22].astype(jnp.int32),
     )
     restitution = _combine_material(
-        T1[:, 21], T2[:, 21],
-        T1[:, 23].astype(jnp.int32), T2[:, 23].astype(jnp.int32),
+        T1[21], T2[21],
+        T1[23].astype(jnp.int32), T2[23].astype(jnp.int32),
     )
 
     # Bodies + dominance (staged columns: parent 28, effective dominance 29).
-    b1 = jnp.where(pair_valid, T1[:, 28].astype(jnp.int32), -1)
-    b2 = jnp.where(pair_valid, T2[:, 28].astype(jnp.int32), -1)
-    dom1 = jnp.where(b1 >= 0, T1[:, 29], 127.0)
-    dom2 = jnp.where(b2 >= 0, T2[:, 29], 127.0)
+    b1 = jnp.where(pair_valid, T1[28].astype(jnp.int32), -1)
+    b2 = jnp.where(pair_valid, T2[28].astype(jnp.int32), -1)
+    dom1 = jnp.where(b1 >= 0, T1[29], 127.0)
+    dom2 = jnp.where(b2 >= 0, T2[29], 127.0)
     rel_dom = (dom1 - dom2).astype(jnp.int32)
 
     # Sensor pairs & solver-group filter never reach the solver (reference
     # narrow_phase.rs: intersections graph vs contacts graph; SolverFlags).
-    sensor = (T1[:, 25] + T2[:, 25]) > 0
-    m1g = T1[:, 26].astype(jnp.int32)
-    f1g = T1[:, 27].astype(jnp.int32)
-    m2g = T2[:, 26].astype(jnp.int32)
-    f2g = T2[:, 27].astype(jnp.int32)
+    sensor = (T1[25] + T2[25]) > 0
+    m1g = T1[26].astype(jnp.int32)
+    f1g = T1[27].astype(jnp.int32)
+    m2g = T2[26].astype(jnp.int32)
+    f2g = T2[27].astype(jnp.int32)
     solver_groups_ok = ((m1g & f2g) != 0) & ((m2g & f1g) != 0)
     solver_pair = (
         pair_valid & matched & ~sensor & solver_groups_ok
-        & jnp.any(point_active, axis=-1)
+        & jnp.any(point_active, axis=0)
     )
 
     pair_key = jnp.where(pair_valid, s1 * n_coll + s2, -1)
 
     # Mesh pairs are handled by compute_mesh_manifolds; drop them here.
-    from rapier_tpu.geometry.narrowphase_mesh import is_mesh_type
+    from rapier_tpu.geometry.narrowphase_mesh import MESH_TYPES, is_mesh_type
 
-    has_mesh = is_mesh_type(t1) | is_mesh_type(t2)
-    pair_valid = pair_valid & ~has_mesh
+    if any(_has(t) for t in MESH_TYPES):
+        has_mesh = is_mesh_type(t1) | is_mesh_type(t2)
+        pair_valid = pair_valid & ~has_mesh
 
     return ManifoldBatch(
         collider1=jnp.where(pair_valid, s1, -1),
         collider2=jnp.where(pair_valid, s2, -1),
         active_events_or=(
-            T1[:, 30].astype(jnp.int32) | T2[:, 30].astype(jnp.int32)
+            T1[30].astype(jnp.int32) | T2[30].astype(jnp.int32)
         ),
         active_hooks_or=(
-            T1[:, 31].astype(jnp.int32) | T2[:, 31].astype(jnp.int32)
+            T1[31].astype(jnp.int32) | T2[31].astype(jnp.int32)
         ),
-        force_threshold=jnp.minimum(T1[:, 32], T2[:, 32]),
-        dyn1=(b1 >= 0) & (T1[:, 33].astype(jnp.int32) == int(BodyType.DYNAMIC)),
-        dyn2=(b2 >= 0) & (T2[:, 33].astype(jnp.int32) == int(BodyType.DYNAMIC)),
+        force_threshold=jnp.minimum(T1[32], T2[32]),
+        dyn1=(b1 >= 0) & (T1[33].astype(jnp.int32) == int(BodyType.DYNAMIC)),
+        dyn2=(b2 >= 0) & (T2[33].astype(jnp.int32) == int(BodyType.DYNAMIC)),
         body1=b1, body2=b2, pair_key=pair_key,
         normal=normal, point=point, dist=dist, fid=fid,
-        point_valid=pvalid & pair_valid[:, None],
-        point_active=point_active & pair_valid[:, None],
+        point_valid=pvalid & pair_valid[None, :],
+        point_active=point_active & pair_valid[None, :],
         valid=pair_valid & matched,
         unsupported=jnp.sum((pair_valid & ~matched).astype(jnp.int32)),
         solver_pair=solver_pair,
@@ -482,8 +517,11 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
         dyn1=(b1 >= 0) & (bt1 == BodyType.DYNAMIC),
         dyn2=(b2 >= 0) & (bt2 == BodyType.DYNAMIC),
         body1=b1, body2=b2, pair_key=pair_key,
-        normal=normal, point=point, dist=dist, fid=fid,
-        point_valid=pvalid, point_active=point_active,
+        # Mesh lanes are few; computed row-major above, transposed to the
+        # lane-last ManifoldBatch layout here at the boundary.
+        normal=normal.T, point=jnp.transpose(point, (1, 2, 0)),
+        dist=dist.T, fid=fid.T,
+        point_valid=pvalid.T, point_active=point_active.T,
         valid=lane_ok, unsupported=jnp.int32(0),
         solver_pair=solver_pair, touching=touching,
         friction=friction, restitution=restitution,
@@ -492,9 +530,11 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
 
 
 def concat_manifolds(a: ManifoldBatch, b: ManifoldBatch) -> ManifoldBatch:
-    """Concatenate two manifold batches along the pair-lane axis."""
+    """Concatenate two manifold batches along the (LAST) pair-lane axis."""
     merged = jax.tree.map(
-        lambda x, y: jnp.concatenate([jnp.atleast_1d(x), jnp.atleast_1d(y)])
+        lambda x, y: jnp.concatenate(
+            [jnp.atleast_1d(x), jnp.atleast_1d(y)], axis=-1
+        )
         if x.ndim > 0 or y.ndim > 0 else x + y,
         a._replace(unsupported=jnp.atleast_1d(a.unsupported)),
         b._replace(unsupported=jnp.atleast_1d(b.unsupported)),

@@ -28,6 +28,9 @@ from rapier_tpu.geometry.narrowphase import (
 from rapier_tpu.types import ShapeType
 
 
+MESH_TYPES = (ShapeType.TRIMESH, ShapeType.HEIGHTFIELD)
+
+
 def is_mesh_type(t):
     return (t == ShapeType.TRIMESH) | (t == ShapeType.HEIGHTFIELD)
 

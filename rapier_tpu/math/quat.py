@@ -139,7 +139,10 @@ def cross_cl(a, b):
 
 
 def dot_cl(a, b):
-    return jnp.sum(a * b, axis=0)
+    # Explicit 3-term sum: a sublane-axis `jnp.sum` over sliced [3, ...]
+    # views hits a Mosaic reduction-layout restriction inside Pallas kernels
+    # (and XLA emits identical code for either form).
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
 def rotate_cl(q, v):
@@ -167,7 +170,8 @@ def mul_cl(a, b):
 
 
 def normalize_cl(q, eps: float = 1e-12):
-    n = jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True))
+    n2 = q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3]
+    n = jnp.sqrt(n2)[None]
     return q / jnp.maximum(n, eps)
 
 

@@ -41,7 +41,7 @@ def one_way_platform_hook(allowed_normal, threshold: float = 0.0):
     allowed = jnp.asarray(allowed_normal)
 
     def filter_fn(bodies, colliders, man):
-        d = jnp.einsum("pj,j->p", man.normal, allowed)
+        d = jnp.einsum("jp,j->p", man.normal, allowed)
         return d >= threshold
 
     return PhysicsHooks(filter_contact_pair=filter_fn)

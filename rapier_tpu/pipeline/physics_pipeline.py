@@ -53,48 +53,52 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
     The analog of parry's TrackedContact feature-id matching + the reference's
     warmstart round-trip (contact_pair.rs:34-51).
 
-    Implementation: a dense [P, P] key-equality matrix instead of sort +
+    Implementation: a dense [Pnew, Pold] key-equality matrix instead of sort +
     searchsorted — equality + matmul contraction beats TPU's while-loop
     binary-search lowering, and the same matrix routes every warmstart field.
+    All per-point arrays are lane-LAST ([4, P], see ManifoldBatch layout).
     """
     new_keys = jnp.where(man.valid, man.pair_key, -1)
     old_keys = jnp.where(prev.pair_key >= 0, prev.pair_key, -2)
-    eq = new_keys[:, None] == old_keys[None, :]              # [P, P] bool
+    eq = new_keys[:, None] == old_keys[None, :]              # [Pn, Po] bool
     matched = jnp.any(eq, axis=1) & man.valid
     eqf = eq.astype(jnp.float32)
 
     def join_pair(arr):
-        """Route per-old-pair values to new lanes (at most one match)."""
-        return eqf @ arr.astype(jnp.float32)
+        """Route per-old-pair values [..., Po] to new lanes [..., Pn]."""
+        return arr.astype(jnp.float32) @ eqf.T
 
     # Per-point feature-id matching (4 new x 4 old), via joined fid rows.
-    old_fid = jnp.einsum("po,ok->pk", eqf, prev.feature_id.astype(jnp.float32))
-    old_pact = jnp.einsum("po,ok->pk", eqf, prev.point_active.astype(jnp.float32)) > 0
+    old_fid = join_pair(prev.feature_id)                     # [4old, Pn]
+    old_pact = join_pair(prev.point_active) > 0
     fmatch = (
-        (man.fid[:, :, None].astype(jnp.float32) == old_fid[:, None, :])
-        & old_pact[:, None, :]
-        & matched[:, None, None]
-        & (man.fid[:, :, None] >= 0)
-    )
+        (man.fid[:, None, :].astype(jnp.float32) == old_fid[None, :, :])
+        & old_pact[None, :, :]
+        & matched[None, None, :]
+        & (man.fid[:, None, :] >= 0)
+    )                                                        # [4new, 4old, Pn]
     # Keep only the FIRST old match per new point (manual prefix to avoid the
     # reduce_window cumsum lowering).
     f = fmatch
-    pre1 = f[..., 0]
-    pre2 = pre1 | f[..., 1]
-    pre3 = pre2 | f[..., 2]
+    pre1 = f[:, 0]
+    pre2 = pre1 | f[:, 1]
+    pre3 = pre2 | f[:, 2]
     first = jnp.stack(
-        [f[..., 0], f[..., 1] & ~pre1, f[..., 2] & ~pre2, f[..., 3] & ~pre3],
-        axis=-1,
+        [f[:, 0], f[:, 1] & ~pre1, f[:, 2] & ~pre2, f[:, 3] & ~pre3],
+        axis=1,
     )
-    ff = first.astype(jnp.float32)                           # [P, 4new, 4old]
+    ff = first.astype(jnp.float32)                           # [4new, 4old, Pn]
 
     def take(arr):
-        return jnp.einsum("pno,po->pn", ff, join_pair(arr))
+        """Per-point old values [4old, Po] -> matched new points [4new, Pn]."""
+        return jnp.einsum("kop,op->kp", ff, join_pair(arr))
 
     ws_normal = take(prev.warmstart_impulse)
     prev_impulse = take(prev.impulse)
-    old_tan = jnp.einsum("po,okd->pkd", eqf, prev.warmstart_tangent_impulse)
-    ws_tan = jnp.einsum("pno,pod->pnd", ff, old_tan)
+    # Manifold-level tangent warmstart (twist friction model stores one
+    # tangent pair per manifold).
+    mf = matched.astype(jnp.float32)[None]
+    ws_tan = join_pair(prev.warmstart_tangent_impulse) * mf  # [2, Pn]
     ws_twist = jnp.where(matched, join_pair(prev.warmstart_twist_impulse), 0.0)
     prev_touching = matched & (join_pair(prev.touching) > 0)
     # Old pairs still touching this step (for stopped events).
@@ -160,7 +164,8 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # 3. Narrow phase (convex pairs + mesh sub-lanes).
     # ------------------------------------------------------------------
     man = compute_manifolds(
-        bodies, colliders, c1, c2, pair_valid, params.prediction_distance()
+        bodies, colliders, c1, c2, pair_valid, params.prediction_distance(),
+        present=params.shape_types_present,
     )
     if has_meshes:
         man_mesh = compute_mesh_manifolds(
@@ -203,7 +208,8 @@ def step(state: SceneState, params: SimParams, hooks=None):
                     continue
                 old = getattr(man, f)
                 new = getattr(mod, f)
-                g = gate.reshape(gate.shape + (1,) * (old.ndim - 1))
+                # Lane axis is LAST: broadcast the [P] gate over leading dims.
+                g = gate.reshape((1,) * (old.ndim - 1) + gate.shape)
                 updates[f] = jnp.where(g, new, old)
             man = man._replace(**updates)
 
@@ -319,10 +325,10 @@ def step(state: SceneState, params: SimParams, hooks=None):
     )
 
     constraints = cc.generate(man, sb, prev_imp, color, n)
-    # Inject matched warmstart impulses (constraint arrays are lane-last).
+    # Inject matched warmstart impulses (everything is lane-last already).
     constraints = constraints._replace(
-        impulse=ws_n.T * constraints.point_mask,
-        tan_impulse=_manifold_tan_ws(ws_t, constraints.point_mask.T).T,
+        impulse=ws_n * constraints.point_mask,
+        tan_impulse=ws_t,
         twist_impulse=ws_tw,
     )
 
@@ -388,33 +394,29 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # ------------------------------------------------------------------
     # 9. Persist contact cache (warmstart round-trip, SURVEY §5.4).
     # ------------------------------------------------------------------
-    total_normal = (constraints.impulse_acc + constraints.impulse).T   # [P, 4]
-    total_tan = (constraints.tan_impulse_acc + constraints.tan_impulse).T
-    pmask_rm = constraints.point_mask.T                                 # [P, 4]
+    total_normal = constraints.impulse_acc + constraints.impulse   # [4, P]
+    total_tan = constraints.tan_impulse_acc + constraints.tan_impulse  # [2, P]
+    pmask = constraints.point_mask                                  # [4, P]
     contacts = Contacts(
         pair_key=jnp.where(man.valid, man.pair_key, -1),
         body1=man.body1, body2=man.body2,
         collider1=man.collider1, collider2=man.collider2,
         normal=man.normal, point=man.point, dist=man.dist,
         feature_id=man.fid, point_active=man.point_active,
-        num_points=jnp.sum(man.point_active.astype(jnp.int32), axis=-1),
+        num_points=jnp.sum(man.point_active.astype(jnp.int32), axis=0),
         active=man.valid, touching=man.touching,
-        warmstart_impulse=constraints.impulse.T,
-        warmstart_tangent_impulse=jnp.broadcast_to(
-            constraints.tan_impulse.T[:, None, :], (max_pairs, 4, 2)
-        ),
+        warmstart_impulse=constraints.impulse,
+        warmstart_tangent_impulse=constraints.tan_impulse,
         warmstart_twist_impulse=constraints.twist_impulse,
-        impulse=total_normal * pmask_rm,
-        tangent_impulse=jnp.broadcast_to(
-            total_tan[:, None, :], (max_pairs, 4, 2)
-        ),
+        impulse=total_normal * pmask,
+        tangent_impulse=total_tan,
         friction=man.friction, restitution=man.restitution,
         events_or=man.active_events_or,
     )
 
     # Contact force events (physics_pipeline.rs:338-363): total manifold
     # normal force vs per-collider threshold.
-    force_mag = jnp.sum(total_normal * pmask_rm, axis=-1) * inv_dt
+    force_mag = jnp.sum(total_normal * pmask, axis=0) * inv_dt
     thr = man.force_threshold
     # Event gating by ActiveEvents flags (reference event_handler.rs:33:
     # only flagged colliders emit; wake-up above is NOT gated).
@@ -443,11 +445,3 @@ def step(state: SceneState, params: SimParams, hooks=None):
         unsupported_pairs=man.unsupported,
     )
     return new_state, events
-
-
-def _manifold_tan_ws(ws_t, point_mask):
-    """Average matched per-point tangent warmstarts into the manifold-level
-    tangent impulse (twist friction model stores one pair per manifold;
-    reference accumulates warmstart_tangent_impulse/num_points)."""
-    npts = jnp.maximum(jnp.sum(point_mask.astype(jnp.float32), axis=-1), 1.0)
-    return jnp.sum(ws_t * point_mask[..., None], axis=1) / npts[:, None]

@@ -205,7 +205,9 @@ class Contacts:
 
     The analog of the reference's ContactPair/ContactData warmstart fields
     (src/geometry/contact_pair.rs:34-51) that must round-trip through
-    snapshots.  Leading axis = MAX_PAIRS (P).
+    snapshots.  LAYOUT: pair-lane axis LAST (see ManifoldBatch) — TPU pads
+    the trailing two dims to (8, 128) tiles, so [P, 4, 3] row-major storage
+    bloats ~85x in HBM and on every read.
     """
 
     # pair_key = c1 * C + c2 with c1 < c2; -1 for empty slots.
@@ -217,23 +219,24 @@ class Contacts:
     collider2: jax.Array     # [P] int32
     # Manifold: world normal points from collider1 towards collider2
     # (reference manifold convention: data.normal, force_dir1 = -normal).
-    normal: jax.Array        # [P, 3]
-    # Contact points: midpoint between surfaces, in world space, plus local
-    # anchors on both bodies and signed distance (< 0 penetrating).
-    point: jax.Array         # [P, 4, 3]
-    dist: jax.Array          # [P, 4]
-    feature_id: jax.Array    # [P, 4] int32, -1 = inactive point
-    point_active: jax.Array  # [P, 4] bool (solver contact kept)
+    normal: jax.Array        # [3, P]
+    # Contact points: midpoint between surfaces, in world space, plus signed
+    # distance (< 0 penetrating).
+    point: jax.Array         # [4, 3, P]
+    dist: jax.Array          # [4, P]
+    feature_id: jax.Array    # [4, P] int32, -1 = inactive point
+    point_active: jax.Array  # [4, P] bool (solver contact kept)
     num_points: jax.Array    # [P] int32
     active: jax.Array        # [P] bool (manifold has >=1 point this step)
     touching: jax.Array      # [P] bool (any dist < 0 or within skin: for events)
-    # Warmstart caches (per point / per manifold).
-    warmstart_impulse: jax.Array          # [P, 4]
-    warmstart_tangent_impulse: jax.Array  # [P, 4, 2]
+    # Warmstart caches (per point / per manifold; the twist friction model
+    # stores ONE tangent pair + one twist impulse per manifold).
+    warmstart_impulse: jax.Array          # [4, P]
+    warmstart_tangent_impulse: jax.Array  # [2, P]
     warmstart_twist_impulse: jax.Array    # [P]
     # Total impulses from last step (for contact-force events / queries).
-    impulse: jax.Array           # [P, 4]
-    tangent_impulse: jax.Array   # [P, 4, 2]
+    impulse: jax.Array           # [4, P]
+    tangent_impulse: jax.Array   # [2, P]
     # Effective material at this pair.
     friction: jax.Array      # [P]
     restitution: jax.Array   # [P]
@@ -246,27 +249,41 @@ class Contacts:
         return self.pair_key.shape[-1]
 
 
+# The empty_* constructors build HOST (numpy) arrays on purpose: device
+# arrays here would force device->host copies during scene construction
+# (world.build copies these into numpy), and on the TPU tunnel a single D2H
+# transfer flips the whole process into a ~100x slower dispatch mode.  Numpy
+# leaves are valid jit inputs; the H2D upload happens at the first step.
+import numpy as _np
+
+
 def _f(shape):
-    return jnp.zeros(shape, dtype=jnp.float32)
+    return _np.zeros(shape, dtype=_np.float32)
 
 
 def _i(shape, fill=0):
-    return jnp.full(shape, fill, dtype=jnp.int32)
+    return _np.full(shape, fill, dtype=_np.int32)
 
 
 def _b(shape, fill=False):
-    return jnp.full(shape, fill, dtype=bool)
+    return _np.full(shape, fill, dtype=bool)
+
+
+def _quat_id(n: int):
+    q = _np.zeros((n, 4), _np.float32)
+    q[:, 3] = 1.0
+    return q
 
 
 def empty_bodies(n: int) -> Bodies:
-    quat_id = jnp.zeros((n, 4), jnp.float32).at[:, 3].set(1.0)
+    quat_id = _quat_id(n)
     return Bodies(
         pos=_f((n, 3)), rot=quat_id, linvel=_f((n, 3)), angvel=_f((n, 3)),
         force=_f((n, 3)), torque=_f((n, 3)),
         local_com=_f((n, 3)), inv_mass=_f((n,)),
         inv_principal_inertia=_f((n, 3)), principal_frame=quat_id,
         body_type=_i((n,), int(BodyType.FIXED)), enabled=_b((n,)),
-        locked_axes=_i((n,)), gravity_scale=jnp.ones((n,), jnp.float32),
+        locked_axes=_i((n,)), gravity_scale=_np.ones((n,), _np.float32),
         linear_damping=_f((n,)), angular_damping=_f((n,)),
         dominance=_i((n,)), gyro_enabled=_b((n,)),
         can_sleep=_b((n,), True), sleeping=_b((n,)), sleep_timer=_f((n,)),
@@ -277,17 +294,17 @@ def empty_bodies(n: int) -> Bodies:
 
 
 def empty_colliders(c: int) -> Colliders:
-    quat_id = jnp.zeros((c, 4), jnp.float32).at[:, 3].set(1.0)
+    quat_id = _quat_id(c)
     return Colliders(
         parent=_i((c,), -1), local_pos=_f((c, 3)), local_rot=quat_id,
         shape_type=_i((c,), int(ShapeType.BALL)), shape_params=_f((c, 12)),
-        friction=jnp.full((c,), 0.5, jnp.float32), restitution=_f((c,)),
+        friction=_np.full((c,), 0.5, _np.float32), restitution=_f((c,)),
         friction_combine=_i((c,)), restitution_combine=_i((c,)),
-        collision_groups=jnp.full((c,), 0xFFFF_FFFF, jnp.uint32),
-        solver_groups=jnp.full((c,), 0xFFFF_FFFF, jnp.uint32),
+        collision_groups=_np.full((c,), 0xFFFF_FFFF, _np.uint32),
+        solver_groups=_np.full((c,), 0xFFFF_FFFF, _np.uint32),
         sensor=_b((c,)), enabled=_b((c,)), contact_skin=_f((c,)),
         active_events=_i((c,)), active_hooks=_i((c,)),
-        contact_force_event_threshold=jnp.full((c,), jnp.inf, jnp.float32),
+        contact_force_event_threshold=_np.full((c,), _np.inf, _np.float32),
         user_data=_i((c,)),
     )
 
@@ -296,12 +313,12 @@ def empty_contacts(p: int) -> Contacts:
     return Contacts(
         pair_key=_i((p,), -1), body1=_i((p,), -1), body2=_i((p,), -1),
         collider1=_i((p,), -1), collider2=_i((p,), -1),
-        normal=_f((p, 3)), point=_f((p, 4, 3)), dist=_f((p, 4)),
-        feature_id=_i((p, 4), -1), point_active=_b((p, 4)),
+        normal=_f((3, p)), point=_f((4, 3, p)), dist=_f((4, p)),
+        feature_id=_i((4, p), -1), point_active=_b((4, p)),
         num_points=_i((p,)), active=_b((p,)), touching=_b((p,)),
-        warmstart_impulse=_f((p, 4)), warmstart_tangent_impulse=_f((p, 4, 2)),
+        warmstart_impulse=_f((4, p)), warmstart_tangent_impulse=_f((2, p)),
         warmstart_twist_impulse=_f((p,)),
-        impulse=_f((p, 4)), tangent_impulse=_f((p, 4, 2)),
+        impulse=_f((4, p)), tangent_impulse=_f((2, p)),
         friction=_f((p,)), restitution=_f((p,)),
         events_or=_i((p,)),
     )
@@ -350,21 +367,21 @@ class Joints:
 
 
 def empty_joints(j: int) -> Joints:
-    quat_id = jnp.zeros((j, 4), jnp.float32).at[:, 3].set(1.0)
+    quat_id = _quat_id(j)
     return Joints(
         body1=_i((j,), -1), body2=_i((j,), -1),
         local_pos1=_f((j, 3)), local_rot1=quat_id,
         local_pos2=_f((j, 3)), local_rot2=quat_id,
         locked_axes=_i((j,)), limit_axes=_i((j,)), motor_axes=_i((j,)),
         coupled_axes=_i((j,)),
-        limit_min=jnp.full((j, 6), -jnp.inf, jnp.float32),
-        limit_max=jnp.full((j, 6), jnp.inf, jnp.float32),
+        limit_min=_np.full((j, 6), -_np.inf, _np.float32),
+        limit_max=_np.full((j, 6), _np.inf, _np.float32),
         motor_target_pos=_f((j, 6)), motor_target_vel=_f((j, 6)),
         motor_stiffness=_f((j, 6)), motor_damping=_f((j, 6)),
-        motor_max_force=jnp.full((j, 6), 3.4e38, jnp.float32),
+        motor_max_force=_np.full((j, 6), 3.4e38, _np.float32),
         motor_model=_i((j, 6)),
-        softness_frequency=jnp.full((j,), 1.0e6, jnp.float32),
-        softness_damping=jnp.ones((j,), jnp.float32),
+        softness_frequency=_np.full((j,), 1.0e6, _np.float32),
+        softness_damping=_np.ones((j,), _np.float32),
         contacts_enabled=_b((j,), True), enabled=_b((j,)),
         impulses=_f((j, MAX_JOINT_ROWS)),
     )
@@ -392,44 +409,44 @@ class SimParams:
     compiled loop structure.
     """
 
-    dt: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0 / 60.0))
+    dt: jax.Array = struct.field(default_factory=lambda: _np.float32(1.0 / 60.0))
     gravity: jax.Array = struct.field(
-        default_factory=lambda: jnp.array([0.0, -9.81, 0.0], jnp.float32)
+        default_factory=lambda: _np.array([0.0, -9.81, 0.0], _np.float32)
     )
-    length_unit: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0))
+    length_unit: jax.Array = struct.field(default_factory=lambda: _np.float32(1.0))
     contact_natural_frequency: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(30.0)
+        default_factory=lambda: _np.float32(30.0)
     )
     contact_damping_ratio: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(5.0)
+        default_factory=lambda: _np.float32(5.0)
     )
     joint_natural_frequency: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(1.0e6)
+        default_factory=lambda: _np.float32(1.0e6)
     )
     joint_damping_ratio: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(1.0)
+        default_factory=lambda: _np.float32(1.0)
     )
     warmstart_coefficient: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(1.0)
+        default_factory=lambda: _np.float32(1.0)
     )
     normalized_allowed_linear_error: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(0.001)
+        default_factory=lambda: _np.float32(0.001)
     )
     normalized_max_corrective_velocity: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(10.0)
+        default_factory=lambda: _np.float32(10.0)
     )
     normalized_prediction_distance: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(0.002)
+        default_factory=lambda: _np.float32(0.002)
     )
     # Sleeping thresholds (reference rigid_body_components.rs:1226-1239).
     sleep_linear_threshold: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(0.4)
+        default_factory=lambda: _np.float32(0.4)
     )
     sleep_angular_threshold: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(0.5)
+        default_factory=lambda: _np.float32(0.5)
     )
     time_until_sleep: jax.Array = struct.field(
-        default_factory=lambda: jnp.float32(2.0)
+        default_factory=lambda: _np.float32(2.0)
     )
     # --- static (recompile on change) ---
     num_solver_iterations: int = struct.field(pytree_node=False, default=4)
@@ -445,7 +462,10 @@ class SimParams:
         pytree_node=False, default=int(BroadPhaseKind.ALL_PAIRS)
     )
     sap_window: int = struct.field(pytree_node=False, default=64)
-    max_colors: int = struct.field(pytree_node=False, default=32)
+    # Luby-coloring round budget.  Measured chromatic numbers: ~8 for the
+    # mixed-primitives drop, ~12 for tall pyramids; overflow lanes degrade to
+    # Jacobi in the last color (soft-constraint cfm keeps that stable).
+    max_colors: int = struct.field(pytree_node=False, default=16)
     # Mesh narrow phase: lanes reserved for (convex, mesh) pairs and candidate
     # triangles per such pair (geometry/narrowphase_mesh.py).
     max_mesh_pairs: int = struct.field(pytree_node=False, default=64)
@@ -455,6 +475,14 @@ class SimParams:
     enable_ccd: bool = struct.field(pytree_node=False, default=False)
     sleep_propagation_iters: int = struct.field(pytree_node=False, default=16)
     sleeping_enabled: bool = struct.field(pytree_node=False, default=True)
+    # Shape types present in the scene (static; sorted tuple of ShapeType ints).
+    # Empty = unknown: the narrow-phase dispatcher must run every kernel.
+    # world.build() fills this so scenes pay only for the kernels they need.
+    shape_types_present: tuple = struct.field(pytree_node=False, default=())
+    # Contact-sweep backend: "auto" = VMEM-resident Pallas kernel on TPU,
+    # pure-JAX color loop elsewhere; "jax"/"pallas" force a path ("pallas"
+    # off-TPU runs the kernel in interpret mode — slow, for tests).
+    solver_backend: str = struct.field(pytree_node=False, default="auto")
 
     # -- derived soft-constraint coefficients (SpringCoefficients,
     #    reference integration_parameters.rs:74-138) --
@@ -526,7 +554,7 @@ class SceneState:
     contacts: Contacts
     joints: Optional[Any] = None       # Joints pytree
     meshes: Optional[MeshData] = None  # trimesh/heightfield tables
-    step_count: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
+    step_count: jax.Array = struct.field(default_factory=lambda: _np.int32(0))
 
 
 def empty_scene(n_bodies: int, n_colliders: int, max_pairs: int) -> SceneState:

@@ -123,13 +123,13 @@ def debug_render(state, *, render_contacts: bool = True,
     if render_contacts:
         c = state.contacts
         touching = np.asarray(c.touching)
-        pts = np.asarray(c.point)
-        nrm = np.asarray(c.normal)
-        act = np.asarray(c.point_active)
+        pts = np.asarray(c.point)        # [4, 3, P] lane-last
+        nrm = np.asarray(c.normal)       # [3, P]
+        act = np.asarray(c.point_active) # [4, P]
         for p in np.where(touching)[0]:
-            for k in np.where(act[p])[0]:
-                starts.append(pts[p, k])
-                ends.append(pts[p, k] + nrm[p] * 0.2)
+            for k in np.where(act[:, p])[0]:
+                starts.append(pts[k, :, p])
+                ends.append(pts[k, :, p] + nrm[:, p] * 0.2)
                 colors.append(_CONTACT_COLOR)
 
     if render_joints and state.joints is not None:

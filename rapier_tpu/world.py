@@ -49,6 +49,26 @@ def _as_quat(rotation) -> np.ndarray:
     raise ValueError(f"rotation must be quat (4,) or scaled axis (3,), got {r.shape}")
 
 
+
+def _at_set(arr, h, v):
+    """Functional arr[h] = v working for both numpy (host, pre-first-step)
+    and jax (device) arrays — world state stays numpy until the first step
+    (see types.py empty_* note on the TPU tunnel D2H trap)."""
+    if isinstance(arr, np.ndarray):
+        arr = arr.copy()
+        arr[h] = v
+        return arr
+    return arr.at[h].set(v)
+
+
+def _at_add(arr, h, v):
+    if isinstance(arr, np.ndarray):
+        arr = arr.copy()
+        arr[h] = arr[h] + v
+        return arr
+    return arr.at[h].add(v)
+
+
 @dataclass
 class RigidBodyBuilder:
     body_type: BodyType = BodyType.DYNAMIC
@@ -458,7 +478,7 @@ class PhysicsWorld:
         self._pending_joints: list[tuple[GenericJointBuilder, int, int]] = []
         self.params = params if params is not None else SimParams()
         self.params = self.params.replace(
-            gravity=jnp.asarray(gravity, jnp.float32)
+            gravity=np.asarray(gravity, np.float32)
         )
         self._max_pairs = max_pairs
         self._body_capacity = body_capacity
@@ -657,7 +677,10 @@ class PhysicsWorld:
                 jarr["enabled"][i] = True
             from rapier_tpu.types import Joints
 
-            joints_state = Joints(**{k: jnp.asarray(v) for k, v in jarr.items()})
+            # Keep host-side (numpy): a device->host copy anywhere in scene
+            # construction flips the TPU tunnel into a ~100x slower dispatch
+            # mode (see types.py empty_* note); upload happens at first step.
+            joints_state = Joints(**jarr)
 
         meshes_state = None
         if mesh_verts:
@@ -671,21 +694,29 @@ class PhysicsWorld:
             vpad[: len(all_v)] = all_v
             tpad = np.full((t_cap, 3), -1, np.int32)
             tpad[: len(all_t)] = all_t
-            meshes_state = MeshData(
-                vertices=jnp.asarray(vpad), triangles=jnp.asarray(tpad)
-            )
+            meshes_state = MeshData(vertices=vpad, triangles=tpad)
 
         from rapier_tpu.types import Bodies, Colliders
 
+        # All leaves stay numpy until the first jitted step uploads them —
+        # never convert device arrays back to numpy here (D2H poisons the
+        # TPU tunnel's fast dispatch path for the whole process).
         self.state = SceneState(
-            bodies=Bodies(**{k: jnp.asarray(v) for k, v in bodies.items()}),
-            colliders=Colliders(**{k: jnp.asarray(v) for k, v in colliders.items()}),
+            bodies=Bodies(**bodies),
+            colliders=Colliders(**colliders),
             contacts=empty_contacts(p_cap),
             joints=joints_state,
             meshes=meshes_state,
         )
         if any(bb.ccd_enabled for bb in self._pending_bodies):
             self.params = self.params.replace(enable_ccd=True)
+        # Static shape-type inventory: lets the narrow phase skip kernels for
+        # absent pair types at trace time (big win for homogeneous scenes).
+        self.params = self.params.replace(
+            shape_types_present=tuple(sorted({
+                int(cb.shape_type) for cb, _ in self._pending_colliders
+            }))
+        )
 
         self.n_bodies = nb
         self.n_colliders = nc
@@ -723,10 +754,10 @@ class PhysicsWorld:
 
     def set_linvel(self, h: int, v, wake_up: bool = True):
         b = self.state.bodies
-        upd = {"linvel": b.linvel.at[h].set(jnp.asarray(v, jnp.float32))}
+        upd = {"linvel": _at_set(b.linvel, h, jnp.asarray(v, jnp.float32))}
         if wake_up:
-            upd["sleeping"] = b.sleeping.at[h].set(False)
-            upd["sleep_timer"] = b.sleep_timer.at[h].set(0.0)
+            upd["sleeping"] = _at_set(b.sleeping, h, False)
+            upd["sleep_timer"] = _at_set(b.sleep_timer, h, 0.0)
         self._update_body(**upd)
 
     def apply_impulse(self, h: int, impulse, wake_up: bool = True):
@@ -736,27 +767,27 @@ class PhysicsWorld:
 
     def add_force(self, h: int, force, wake_up: bool = True):
         b = self.state.bodies
-        upd = {"force": b.force.at[h].add(jnp.asarray(force, jnp.float32))}
+        upd = {"force": _at_add(b.force, h, jnp.asarray(force, jnp.float32))}
         if wake_up:
-            upd["sleeping"] = b.sleeping.at[h].set(False)
-            upd["sleep_timer"] = b.sleep_timer.at[h].set(0.0)
+            upd["sleeping"] = _at_set(b.sleeping, h, False)
+            upd["sleep_timer"] = _at_set(b.sleep_timer, h, 0.0)
         self._update_body(**upd)
 
     def reset_forces(self, h: int):
         b = self.state.bodies
-        self._update_body(force=b.force.at[h].set(0.0),
-                          torque=b.torque.at[h].set(0.0))
+        self._update_body(force=_at_set(b.force, h, 0.0),
+                          torque=_at_set(b.torque, h, 0.0))
 
     def wake_up(self, h: int):
         b = self.state.bodies
         self._update_body(
-            sleeping=b.sleeping.at[h].set(False),
-            sleep_timer=b.sleep_timer.at[h].set(0.0),
+            sleeping=_at_set(b.sleeping, h, False),
+            sleep_timer=_at_set(b.sleep_timer, h, 0.0),
         )
 
     def set_next_kinematic_translation(self, h: int, xyz):
         b = self.state.bodies
-        self._update_body(next_pos=b.next_pos.at[h].set(jnp.asarray(xyz, jnp.float32)))
+        self._update_body(next_pos=_at_set(b.next_pos, h, jnp.asarray(xyz, jnp.float32)))
 
     # ------------------------------------------------------------------
     # Snapshots (reference §5.4: full state serde round-trip)
@@ -827,9 +858,10 @@ class PhysicsWorld:
             c1 = int(c.collider1[p])
             c2 = int(c.collider2[p])
             other = c2 if c1 == collider else c1
-            pts = np.asarray(c.point[p])[np.asarray(c.point_active[p])]
-            dst = np.asarray(c.dist[p])[np.asarray(c.point_active[p])]
-            nrm = np.asarray(c.normal[p])
+            act = np.asarray(c.point_active[:, p])
+            pts = np.asarray(c.point[:, :, p])[act]
+            dst = np.asarray(c.dist[:, p])[act]
+            nrm = np.asarray(c.normal[:, p])
             out.append((other, nrm, pts, dst))
         return out
 

@@ -131,10 +131,12 @@ def test_vehicle_drives_forward():
             dt=w.params.dt,
         )
         b = w.state.bodies
+        # build() leaves are numpy; jnp.asarray makes .at[] updates work on
+        # both the first (host) iteration and subsequent device iterations.
         w.state = w.state.replace(bodies=b.replace(
-            linvel=b.linvel.at[chassis].set(upd.linvel),
-            angvel=b.angvel.at[chassis].set(upd.angvel),
-            sleeping=b.sleeping.at[chassis].set(False),
+            linvel=jnp.asarray(b.linvel).at[chassis].set(upd.linvel),
+            angvel=jnp.asarray(b.angvel).at[chassis].set(upd.angvel),
+            sleeping=jnp.asarray(b.sleeping).at[chassis].set(False),
         ))
         w.step()
     p = w.body_translation(chassis)
