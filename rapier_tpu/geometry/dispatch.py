@@ -129,14 +129,34 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
       c1, c2: [P] collider indices (c1 < c2 from the broad phase; -1 invalid).
       pair_valid: [P] bool.
       prediction: scalar prediction distance.
-      present: static tuple of ShapeType ints present in the scene (from
-        SimParams.shape_types_present); empty = unknown, run every kernel.
-        Kernels whose pair types cannot occur are skipped at trace time —
-        the TPU analog of parry's per-pair dispatch cost model.
+      present: static shape-type census (from SimParams.shape_types_present):
+        a tuple of (ShapeType int, count) pairs, or legacy plain ints
+        (count unknown).  Empty = unknown, run every kernel.  Kernels whose
+        pair types cannot occur — type absent, or a same-type pair with only
+        one instance — are skipped at trace time, the TPU analog of parry's
+        per-pair dispatch cost model.
     """
 
+    if present:
+        _counts = {}
+        for entry in present:
+            if isinstance(entry, tuple):
+                _counts[int(entry[0])] = int(entry[1])
+            else:
+                _counts[int(entry)] = 1 << 30
+    else:
+        _counts = None
+
     def _has(*types):
-        return (not present) or all(int(t) in present for t in types)
+        return _counts is None or all(int(t) in _counts for t in types)
+
+    def _pair_possible(ta, tb):
+        if _counts is None:
+            return True
+        ta, tb = int(ta), int(tb)
+        if ta not in _counts or tb not in _counts:
+            return False
+        return ta != tb or _counts[ta] >= 2
     P = c1.shape[0]
     n_coll = colliders.parent.shape[0]
     w_pos, w_rot = collider_world_poses(bodies, colliders)
@@ -218,7 +238,7 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
         return jax.vmap(kern, in_axes=-1, out_axes=-1)
 
     for (ta, tb), kern in _PAIR_KERNELS.items():
-        if not _has(ta, tb):
+        if not _pair_possible(ta, tb):
             continue
         mask = pair_valid & (tA == ta) & (tB == tb)
         man = vlane(kern)(pA, rA, prmA, pB, rB, prmB)
@@ -229,10 +249,11 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
     # present convex pair has an analytic kernel.
     from rapier_tpu.geometry.narrowphase_convex import SUPPORTED, convex_convex
 
-    if present:
-        pres_conv = [int(t) for t in SUPPORTED if int(t) in present]
+    if _counts is not None:
+        pres_conv = [int(t) for t in SUPPORTED if int(t) in _counts]
         need_cc = any(
             (ShapeType(min(a, b)), ShapeType(max(a, b))) not in _PAIR_KERNELS
+            and _pair_possible(a, b)
             for a in pres_conv for b in pres_conv
         )
     else:

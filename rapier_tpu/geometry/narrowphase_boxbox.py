@@ -6,6 +6,18 @@ branch-free (everything computed, selected with `where`), designed for `vmap`
 over pair lanes.  Produces up to 4 contact points with stable feature ids
 (reduction philosophy mirrors src/geometry/manifold_reduction.rs:5-80:
 deepest -> farthest -> two perpendicular extremes).
+
+Perf notes (this kernel dominates box-heavy scenes — pyramids, s2d, the
+mixed-primitives bench):
+- The edge-axis SAT is a closed-form [3, 3] matrix expression (rolled-index
+  products), not an unrolled 9-iteration loop of masked updates.
+- Only the SELECTED reference face builds a manifold (the old path computed
+  both ref=A and ref=B and discarded one — 2x the clip cost).
+- The quad∩rect clip is ORDER-FREE: Liang-Barsky entry/exit points per quad
+  edge plus rect corners inside the quad enumerate every vertex of the
+  intersection polygon as a masked candidate list — no Sutherland-Hodgman
+  compaction (whose per-plane 8x8 selection matmuls were the hottest ops in
+  the whole narrow phase).
 """
 
 from __future__ import annotations
@@ -28,117 +40,111 @@ from rapier_tpu.geometry.narrowphase import (
 _EDGE_BIAS_ABS = 1.0e-2
 _REF_FACE_BIAS_ABS = 2.0e-3
 
-
-def _clip_quad(verts_uvd, ids, hu, hv):
-    """Sutherland-Hodgman clip of a quad (u, v, depth) against the rectangle
-    [-hu, hu] x [-hv, hv].  Fixed 8-slot buffers; returns (verts, ids, count).
-    Depth is interpolated linearly; crossing-vertex ids hash the edge ids so
-    they stay stable across steps."""
-    buf = jnp.zeros((8, 3)).at[:4].set(verts_uvd)
-    idb = jnp.full((8,), -1, jnp.int32).at[:4].set(ids)
-    count = jnp.int32(4)
-
-    planes = [
-        (jnp.array([1.0, 0.0]), hu, 0),
-        (jnp.array([-1.0, 0.0]), hu, 1),
-        (jnp.array([0.0, 1.0]), hv, 2),
-        (jnp.array([0.0, -1.0]), hv, 3),
-    ]
-    for nrm, off, pidx in planes:
-        k = jnp.arange(8)
-        valid = k < count
-        nxt = jnp.where(k + 1 >= count, 0, k + 1)
-        v_cur = buf
-        # buf[nxt] via an 8x8 selection matmul: per-lane dynamic gathers
-        # batch terribly on TPU (~1GB/s), tiny matmuls don't.
-        sel_nxt = (nxt[:, None] == k[None, :]).astype(buf.dtype)
-        v_nxt = sel_nxt @ buf
-        id_nxt = jnp.sum(sel_nxt.astype(jnp.int32) * idb[None, :], axis=1)
-        d_cur = v_cur[:, 0] * nrm[0] + v_cur[:, 1] * nrm[1] - off
-        d_nxt = v_nxt[:, 0] * nrm[0] + v_nxt[:, 1] * nrm[1] - off
-        in_cur = d_cur <= 0.0
-        in_nxt = d_nxt <= 0.0
-
-        emit_cur = valid & in_cur
-        emit_x = valid & (in_cur != in_nxt)
-
-        s = d_cur / jnp.where(jnp.abs(d_cur - d_nxt) < 1e-12, 1e-12, d_cur - d_nxt)
-        s = jnp.clip(s, 0.0, 1.0)
-        v_x = v_cur + (v_nxt - v_cur) * s[:, None]
-        id_x = (
-            jnp.minimum(idb, id_nxt) * 131
-            + jnp.maximum(idb, id_nxt) * 31
-            + pidx * 7919
-        ) & 0x7FFFFF
-
-        cnt_k = emit_cur.astype(jnp.int32) + emit_x.astype(jnp.int32)
-        offs = jnp.cumsum(cnt_k) - cnt_k
-
-        # Scatter-free compaction: output slot j selects its source edge via
-        # an 8x8 selection matrix (TPU scatters with computed indices are
-        # catastrophically slow; this is a tiny einsum instead).
-        j_idx = k[:, None]
-        sel_cur = emit_cur[None, :] & (j_idx == offs[None, :])
-        sel_x = emit_x[None, :] & (
-            j_idx == (offs + emit_cur.astype(jnp.int32))[None, :]
-        )
-        w_cur = sel_cur.astype(buf.dtype)
-        w_x = sel_x.astype(buf.dtype)
-        buf = w_cur @ v_cur + w_x @ v_x
-        has = jnp.any(sel_cur | sel_x, axis=1)
-        idb = jnp.where(
-            has,
-            jnp.sum(sel_cur * idb[None, :] + sel_x * id_x[None, :], axis=1,
-                    dtype=jnp.int32),
-            -1,
-        )
-        count = jnp.sum(cnt_k)
-
-    return buf, idb, count
+_BIG = 1.0e10
 
 
-def _reduce_to_4(pts_uvd, ids, count):
-    """Reduce up to 8 clipped points to <= 4: deepest, farthest from it, then
-    the two extreme points perpendicular to that base line (the reference's
-    naive reduction, manifold_reduction.rs:5-80)."""
-    k = jnp.arange(8)
-    valid = k < count
-    big = 1e10
+def _face_candidates(verts_uvd, hu, hv):
+    """Vertices of (convex quad) ∩ (rectangle [-hu,hu]x[-hv,hv]) as a masked
+    candidate list [12, 3] (u, v, depth) + [12] validity — order-free.
+
+    The intersection polygon's vertices are exactly: quad-edge/rect boundary
+    crossings and quad verts inside the rect (Liang-Barsky entry/exit points
+    of each quad edge, 2x4) ∪ rect corners inside the quad (4)."""
+    v0 = verts_uvd                       # [4, 3]
+    v1 = jnp.roll(verts_uvd, -1, axis=0)
+    d = v1 - v0
+
+    def axis_window(p0, dp, h):
+        """t-window of |p0 + t*dp| <= h (unclamped; empty = lo > hi)."""
+        tiny = jnp.abs(dp) < 1e-12
+        safe = jnp.where(tiny, 1.0, dp)
+        ta = (-h - p0) / safe
+        tb = (h - p0) / safe
+        lo = jnp.minimum(ta, tb)
+        hi = jnp.maximum(ta, tb)
+        inside = jnp.abs(p0) <= h
+        lo = jnp.where(tiny, jnp.where(inside, -_BIG, _BIG), lo)
+        hi = jnp.where(tiny, jnp.where(inside, _BIG, -_BIG), hi)
+        return lo, hi
+
+    lo_u, hi_u = axis_window(v0[:, 0], d[:, 0], hu)
+    lo_v, hi_v = axis_window(v0[:, 1], d[:, 1], hv)
+    t0 = jnp.maximum(jnp.maximum(lo_u, lo_v), 0.0)
+    t1 = jnp.minimum(jnp.minimum(hi_u, hi_v), 1.0)
+    hits = t0 <= t1                       # [4] segment meets the rect
+    pa = v0 + d * t0[:, None]             # entry points
+    pb = v0 + d * t1[:, None]             # exit points
+
+    # Rect corners inside the quad: consistent cross-product signs against
+    # every quad edge (either winding).
+    corners = jnp.array([[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]])
+    corners = corners * jnp.stack([hu, hv])[None, :]
+    rel = corners[None, :, :] - v0[:, None, :2]            # [edge, corner, 2]
+    cross = d[:, None, 0] * rel[:, :, 1] - d[:, None, 1] * rel[:, :, 0]
+    inside = jnp.all(cross >= -1e-9, axis=0) | jnp.all(cross <= 1e-9, axis=0)
+
+    # Depth is affine over the face: gradient from two quad edge vectors.
+    e0, e1 = d[0], -d[3]                  # both emanate from v0[0]'s plane
+    det = e0[0] * e1[1] - e0[1] * e1[0]
+    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    gu = (e0[2] * e1[1] - e1[2] * e0[1]) / safe_det
+    gv = (e1[2] * e0[0] - e0[2] * e1[0]) / safe_det
+    c_rel = corners - v0[0, :2][None, :]
+    c_depth = v0[0, 2] + c_rel[:, 0] * gu + c_rel[:, 1] * gv
+    c_uvd = jnp.concatenate([corners, c_depth[:, None]], axis=1)
+
+    pts = jnp.concatenate([pa, pb, c_uvd], axis=0)         # [12, 3]
+    valid = jnp.concatenate([hits, hits, inside], axis=0)  # [12]
+    return pts, valid
+
+
+def _reduce_candidates(pts_uvd, valid):
+    """Reduce masked candidates to <= 4: deepest, farthest from it, then the
+    two extreme points perpendicular to that base line (the reference's naive
+    reduction, manifold_reduction.rs:5-80).  Duplicate POSITIONS (not just
+    duplicate picks) are masked so coincident entry/exit candidates collapse."""
+    n = pts_uvd.shape[0]
+    k = jnp.arange(n)
+
+    # Collapse near-duplicate candidates first (keep the first of each group):
+    # entry==exit points and corner/crossing coincidences are common.
+    d2 = jnp.sum(
+        (pts_uvd[:, None, :2] - pts_uvd[None, :, :2]) ** 2, axis=-1
+    )
+    dup = (d2 < 1e-10) & valid[None, :] & (k[None, :] < k[:, None])
+    valid = valid & ~jnp.any(dup, axis=1)
 
     def pick(i):
-        """One-hot row selection (no per-lane gather)."""
         oh = (k == i).astype(pts_uvd.dtype)
-        return oh @ pts_uvd, jnp.sum(oh.astype(jnp.int32) * ids), oh @ valid.astype(pts_uvd.dtype) > 0
+        return oh @ pts_uvd, (oh @ valid.astype(pts_uvd.dtype)) > 0
 
-    depth = jnp.where(valid, pts_uvd[:, 2], big)
+    depth = jnp.where(valid, pts_uvd[:, 2], _BIG)
     i0 = jnp.argmin(depth)
-    r0, id0, v0 = pick(i0)
+    r0, v0 = pick(i0)
     p0 = r0[:2]
 
-    d_from0 = jnp.where(valid, jnp.sum((pts_uvd[:, :2] - p0) ** 2, axis=-1), -big)
+    d_from0 = jnp.where(valid, jnp.sum((pts_uvd[:, :2] - p0) ** 2, axis=-1), -_BIG)
     i1 = jnp.argmax(d_from0)
-    r1, id1, v1 = pick(i1)
+    r1, v1 = pick(i1)
     p1 = r1[:2]
 
     base = p1 - p0
-    perp = jnp.array([-base[1], base[0]])
-    side = jnp.einsum("kj,j->k", pts_uvd[:, :2] - p0, perp)
-    i2 = jnp.argmax(jnp.where(valid, side, -big))
-    i3 = jnp.argmin(jnp.where(valid, side, big))
-    r2, id2, v2 = pick(i2)
-    r3, id3, v3 = pick(i3)
+    perp = jnp.stack([-base[1], base[0]])
+    side = (pts_uvd[:, 0] - p0[0]) * perp[0] + (pts_uvd[:, 1] - p0[1]) * perp[1]
+    i2 = jnp.argmax(jnp.where(valid, side, -_BIG))
+    i3 = jnp.argmin(jnp.where(valid, side, _BIG))
+    r2, v2 = pick(i2)
+    r3, v3 = pick(i3)
 
     sel = jnp.stack([i0, i1, i2, i3])
     out_pts = jnp.stack([r0, r1, r2, r3])
-    out_ids = jnp.stack([id0, id1, id2, id3])
     out_valid = jnp.stack([v0, v1, v2, v3])
-    # Mask duplicate selections (e.g. count < 4).
     keep = jnp.ones((MAXP,), bool)
     for a in range(MAXP):
         for b in range(a):
             keep = keep.at[a].set(keep[a] & (sel[a] != sel[b]))
         keep = keep.at[a].set(keep[a] & out_valid[a])
-    return out_pts, out_ids, keep
+    return out_pts, keep
 
 
 def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
@@ -161,114 +167,104 @@ def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     sep_a_best = jnp.max(sep_a)
     sep_b_best = jnp.max(sep_b)
 
-    # --- edge axes e_i x R[:,j] ---
-    scale = jnp.minimum(jnp.min(hA), jnp.min(hB))
-    edge_sep = jnp.full((3, 3), -1e10)
-    edge_axis = jnp.zeros((3, 3, 3))
-    for i in range(3):
-        i1, i2 = (i + 1) % 3, (i + 2) % 3
-        for j in range(3):
-            j1, j2 = (j + 1) % 3, (j + 2) % 3
-            # L = e_i x R[:,j] (A frame, unnormalized).
-            L = jnp.zeros(3).at[i1].set(-R[i2, j]).at[i2].set(R[i1, j])
-            length = jnp.sqrt(jnp.maximum(1.0 - R[i, j] * R[i, j], 1e-12))
-            ra = hA[i1] * absR[i2, j] + hA[i2] * absR[i1, j]
-            rb = hB[j1] * absR[i, j2] + hB[j2] * absR[i, j1]
-            tl = t[i2] * R[i1, j] - t[i1] * R[i2, j]
-            sep = (jnp.abs(tl) - ra - rb) / length
-            # Degenerate (parallel) axes get -inf so they never win.
-            sep = jnp.where(length < 1e-3, -1e10, sep)
-            edge_sep = edge_sep.at[i, j].set(sep)
-            edge_axis = edge_axis.at[i, j].set(L / length)
+    # --- edge axes e_i x R[:,j], closed-form [3, 3] (i = A axis, j = B axis):
+    #   ra[i,j] = hA[i+1]*absR[i+2,j] + hA[i+2]*absR[i+1,j]
+    #   rb[i,j] = hB[j+1]*absR[i,j+2] + hB[j+2]*absR[i,j+1]
+    #   tl[i,j] = t[i+2]*R[i+1,j] - t[i+1]*R[i+2,j]
+    # (indices mod 3 — realized with rolled rows/columns).
+    r1 = (1, 2, 0)
+    r2 = (2, 0, 1)
+    hA1, hA2 = hA[jnp.array(r1)], hA[jnp.array(r2)]
+    hB1, hB2 = hB[jnp.array(r1)], hB[jnp.array(r2)]
+    absR_r1, absR_r2 = absR[jnp.array(r1), :], absR[jnp.array(r2), :]
+    absR_c1, absR_c2 = absR[:, jnp.array(r1)], absR[:, jnp.array(r2)]
+    R_r1, R_r2 = R[jnp.array(r1), :], R[jnp.array(r2), :]
+    t1r, t2r = t[jnp.array(r1)], t[jnp.array(r2)]
 
+    ra = hA1[:, None] * absR_r2 + hA2[:, None] * absR_r1
+    rb = hB1[None, :] * absR_c2 + hB2[None, :] * absR_c1
+    tl = t2r[:, None] * R_r1 - t1r[:, None] * R_r2
+    length = jnp.sqrt(jnp.maximum(1.0 - R * R, 1e-12))
+    edge_sep = (jnp.abs(tl) - ra - rb) / length
+    # Degenerate (parallel) axes never win.
+    edge_sep = jnp.where(length < 1e-3, -_BIG, edge_sep)
+
+    scale = jnp.minimum(jnp.min(hA), jnp.min(hB))
     e_flat = edge_sep.reshape(9)
     best_e = jnp.argmax(e_flat)
     sep_e_best = jnp.max(e_flat)
-    oh_e = (jnp.arange(9) == best_e).astype(jnp.float32)
 
     face_best = jnp.maximum(sep_a_best, sep_b_best)
     use_edge = sep_e_best > face_best + _EDGE_BIAS_ABS * scale
     use_b_face = sep_b_best > sep_a_best + _REF_FACE_BIAS_ABS * scale
 
     # =====================================================================
-    # Face-face manifold: computed for both (ref=A) and (ref=B), selected.
+    # Face-face manifold: ONLY for the selected reference box.
     # =====================================================================
-    def face_manifold(h_ref, h_inc, R_ri, t_ri, axis, ref_is_a):
-        """Reference box frame: R_ri = incident rotation in ref frame,
-        t_ri = incident center in ref frame, axis = ref face axis index."""
-        one_hot = jax.nn.one_hot(axis, 3)
-        sgn = jnp.where(jnp.sum(t_ri * one_hot) >= 0, 1.0, -1.0)
-        n_ref = one_hot * sgn                     # outward ref normal (ref frame)
+    h_ref = jnp.where(use_b_face, hB, hA)
+    h_inc = jnp.where(use_b_face, hA, hB)
+    R_ri = jnp.where(use_b_face, R.T, R)     # incident rotation in ref frame
+    t_ri = jnp.where(use_b_face, -(R.T @ t), t)
+    axis = jnp.where(use_b_face, best_b, best_a)
 
-        # Incident face: axis of incident box most anti-parallel to n_ref.
-        d = n_ref @ R_ri                          # dot with incident axes [3]
-        inc_axis = jnp.argmax(jnp.abs(d))
-        inc_sgn = -jnp.sign(jnp.sum(jax.nn.one_hot(inc_axis, 3) * d))
-        inc_n_local = jax.nn.one_hot(inc_axis, 3) * inc_sgn  # incident-local
+    one_hot = jax.nn.one_hot(axis, 3)
+    sgn = jnp.where(jnp.sum(t_ri * one_hot) >= 0, 1.0, -1.0)
+    n_ref = one_hot * sgn                     # outward ref normal (ref frame)
 
-        # Incident face corners (incident-local).
-        u_ax = (inc_axis + 1) % 3
-        v_ax = (inc_axis + 2) % 3
-        hu_i = jnp.sum(jax.nn.one_hot(u_ax, 3) * h_inc)
-        hv_i = jnp.sum(jax.nn.one_hot(v_ax, 3) * h_inc)
-        center_l = inc_n_local * jnp.sum(jax.nn.one_hot(inc_axis, 3) * h_inc)
-        eu = jax.nn.one_hot(u_ax, 3)
-        ev = jax.nn.one_hot(v_ax, 3)
-        corners_l = jnp.stack([
-            center_l + eu * hu_i + ev * hv_i,
-            center_l - eu * hu_i + ev * hv_i,
-            center_l - eu * hu_i - ev * hv_i,
-            center_l + eu * hu_i - ev * hv_i,
-        ])
-        corners_r = corners_l @ R_ri.T + t_ri      # ref frame
+    # Incident face: axis of incident box most anti-parallel to n_ref.
+    d = n_ref @ R_ri                          # dot with incident axes [3]
+    inc_axis = jnp.argmax(jnp.abs(d))
+    inc_oh = jax.nn.one_hot(inc_axis, 3)
+    inc_sgn = -jnp.sign(jnp.sum(inc_oh * d))
+    inc_n_local = inc_oh * inc_sgn            # incident-local
 
-        # 2D coords on the reference face (axes u, v of ref frame).
-        ru = (axis + 1) % 3
-        rv = (axis + 2) % 3
-        pick_u = jax.nn.one_hot(ru, 3)
-        pick_v = jax.nn.one_hot(rv, 3)
-        h_face = jnp.sum(one_hot * h_ref)
-        u = corners_r @ pick_u
-        v = corners_r @ pick_v
-        depth = corners_r @ n_ref - h_face        # signed dist above face
-        verts_uvd = jnp.stack([u, v, depth], axis=-1)
-        ids = jnp.arange(4, dtype=jnp.int32) + inc_axis * 8 + jnp.where(inc_sgn > 0, 0, 4)
+    # Incident face corners (incident-local).
+    u_ax = (inc_axis + 1) % 3
+    v_ax = (inc_axis + 2) % 3
+    eu = jax.nn.one_hot(u_ax, 3)
+    ev = jax.nn.one_hot(v_ax, 3)
+    hu_i = jnp.sum(eu * h_inc)
+    hv_i = jnp.sum(ev * h_inc)
+    center_l = inc_n_local * jnp.sum(inc_oh * h_inc)
+    corners_l = jnp.stack([
+        center_l + eu * hu_i + ev * hv_i,
+        center_l - eu * hu_i + ev * hv_i,
+        center_l - eu * hu_i - ev * hv_i,
+        center_l + eu * hu_i - ev * hv_i,
+    ])
+    corners_r = corners_l @ R_ri.T + t_ri      # ref frame
 
-        hu_r = jnp.sum(pick_u * h_ref)
-        hv_r = jnp.sum(pick_v * h_ref)
-        clipped, cids, cnt = _clip_quad(verts_uvd, ids, hu_r, hv_r)
-        pts4, ids4, keep4 = _reduce_to_4(clipped, cids, cnt)
+    # 2D coords on the reference face (axes u, v of ref frame).
+    ru = (axis + 1) % 3
+    rv = (axis + 2) % 3
+    pick_u = jax.nn.one_hot(ru, 3)
+    pick_v = jax.nn.one_hot(rv, 3)
+    h_face = jnp.sum(one_hot * h_ref)
+    u = corners_r @ pick_u
+    v = corners_r @ pick_v
+    depth = corners_r @ n_ref - h_face        # signed dist above face
+    verts_uvd = jnp.stack([u, v, depth], axis=-1)
 
-        # Back to ref-frame 3D: on incident surface.
-        pts_ref = (
-            pts4[:, 0:1] * pick_u[None, :]
-            + pts4[:, 1:2] * pick_v[None, :]
-            + (h_face + pts4[:, 2:3]) * n_ref[None, :]
-        )
-        dist = pts4[:, 2]
-        mid_ref = pts_ref - 0.5 * dist[:, None] * n_ref[None, :]
-        fid = ids4 + jnp.where(ref_is_a, 0, 1 << 24) + axis * (1 << 20)
-        return n_ref, mid_ref, dist, fid, keep4
+    hu_r = jnp.sum(pick_u * h_ref)
+    hv_r = jnp.sum(pick_v * h_ref)
+    cand, cand_valid = _face_candidates(verts_uvd, hu_r, hv_r)
+    pts4, keep_face = _reduce_candidates(cand, cand_valid)
 
-    # ref = A.
-    nA_ref, midA, distA, fidA, keepA = face_manifold(
-        hA, hB, R, t, best_a, jnp.bool_(True)
+    # Back to ref-frame 3D, then world.
+    pts_ref = (
+        pts4[:, 0:1] * pick_u[None, :]
+        + pts4[:, 1:2] * pick_v[None, :]
+        + (h_face + pts4[:, 2:3]) * n_ref[None, :]
     )
-    # ref = B: incident = A; R_ab = R^T, t_ab = -R^T t.
-    nB_ref, midB, distB, fidB, keepB = face_manifold(
-        hB, hA, R.T, -(R.T @ t), best_b, jnp.bool_(False)
-    )
+    dist_face = pts4[:, 2]
+    mid_ref = pts_ref - 0.5 * dist_face[:, None] * n_ref[None, :]
 
-    # World-space conversion.  Manifold normal convention: from A towards B.
-    nA_w = mA @ nA_ref
-    midA_w = midA @ mA.T + pA
-    nB_w = -(mB @ nB_ref)
-    midB_w = midB @ mB.T + pB
-
-    n_face = jnp.where(use_b_face, nB_w, nA_w)
-    mid_face = jnp.where(use_b_face, midB_w, midA_w)
-    dist_face = jnp.where(use_b_face, distB, distA)
-    keep_face = jnp.where(use_b_face, keepB, keepA)
+    m_ref = jnp.where(use_b_face, mB, mA)
+    p_ref = jnp.where(use_b_face, pB, pA)
+    n_w_ref = m_ref @ n_ref
+    # Manifold normal convention: from A towards B.
+    n_face = jnp.where(use_b_face, -n_w_ref, n_w_ref)
+    mid_face = mid_ref @ m_ref.T + p_ref
 
     # Reference-independent feature ids: quadrant of each contact point around
     # the manifold centroid in a basis derived from the (A->B stable) normal.
@@ -297,7 +293,14 @@ def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     # =====================================================================
     ei = best_e // 3
     ej = best_e % 3
-    L = oh_e @ edge_axis.reshape(9, 3)            # A frame, unit (one-hot pick)
+    # L = e_i x R[:,j]: component i1 = -R[i2,j], component i2 = R[i1,j].
+    oh_e = (jnp.arange(9) == best_e).astype(jnp.float32).reshape(3, 3)
+    Lsel_r1 = jnp.sum(oh_e * R_r1)            # R[i1, j] at the winner
+    Lsel_r2 = jnp.sum(oh_e * R_r2)            # R[i2, j]
+    Lsel_len = jnp.sum(oh_e * length)
+    oh_i1 = jax.nn.one_hot((ei + 1) % 3, 3)
+    oh_i2 = jax.nn.one_hot((ei + 2) % 3, 3)
+    L = (oh_i1 * (-Lsel_r2) + oh_i2 * Lsel_r1) / jnp.maximum(Lsel_len, 1e-12)
     # Orient from A towards B.
     L = jnp.where(jnp.dot(L, t) < 0, -L, L)
 
@@ -332,8 +335,8 @@ def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     pts = jnp.where(use_edge, jnp.broadcast_to(mid_edge_w, (MAXP, 3)), mid_face)
     dst = jnp.where(
         use_edge,
-        jnp.full((MAXP,), 1e10).at[0].set(sep_e_best),
-        jnp.where(keep_face, dist_face, 1e10),
+        jnp.full((MAXP,), _BIG).at[0].set(sep_e_best),
+        jnp.where(keep_face, dist_face, _BIG),
     )
     fids = jnp.where(use_edge, jnp.full((MAXP,), -1, jnp.int32).at[0].set(fid_edge),
                      fid_face)

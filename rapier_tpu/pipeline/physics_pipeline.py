@@ -116,6 +116,22 @@ def step(state: SceneState, params: SimParams, hooks=None):
     n = bodies.n
 
     # ------------------------------------------------------------------
+    # 0. Multibody articulations (reduced coordinates): generalized-space
+    #    forward dynamics + integration writes the links' NEXT poses; the
+    #    links are kinematic-position-based bodies, so the standard kinematic
+    #    machinery below derives their contact velocities and advances their
+    #    poses (reference: Multibody::forward_kinematics+update_rigid_bodies
+    #    at physics_pipeline.rs:579-584; one-way contact coupling for now).
+    # ------------------------------------------------------------------
+    multibodies = state.multibodies
+    if multibodies is not None:
+        from rapier_tpu.dynamics import multibody as mbmod
+
+        multibodies, bodies, _mbaux = mbmod.step_multibodies(
+            multibodies, bodies, params.gravity, params.dt, next_only=True
+        )
+
+    # ------------------------------------------------------------------
     # 1. Kinematic velocity interpolation (physics_pipeline.rs:412-438).
     # ------------------------------------------------------------------
     kin_pos = bodies.body_type == BodyType.KINEMATIC_POSITION_BASED
@@ -433,6 +449,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
         contacts=contacts,
         joints=joints,
         meshes=state.meshes,
+        multibodies=multibodies,
         step_count=state.step_count + 1,
     )
     events = StepEvents(

@@ -554,6 +554,7 @@ class SceneState:
     contacts: Contacts
     joints: Optional[Any] = None       # Joints pytree
     meshes: Optional[MeshData] = None  # trimesh/heightfield tables
+    multibodies: Optional[Any] = None  # dynamics.multibody.Multibodies
     step_count: jax.Array = struct.field(default_factory=lambda: _np.int32(0))
 
 

@@ -334,6 +334,11 @@ class GenericJointBuilder:
     motor_max_force: tuple = tuple([3.4e38] * 6)
     motor_model: tuple = tuple([0] * 6)
     contacts_enabled: bool = True
+    # Multibody-only per-dof extras (ignored by impulse joints).
+    armature: tuple = tuple([0.0] * 6)
+    mb_damping: tuple = tuple([0.0] * 6)
+    mb_spring_stiffness: tuple = tuple([0.0] * 6)
+    mb_spring_ref: tuple = tuple([0.0] * 6)
 
     # -- typed constructors --
     @staticmethod
@@ -419,6 +424,18 @@ class GenericJointBuilder:
         self.contacts_enabled = bool(enabled)
         return self
 
+    # -- multibody-only per-dof extras (reference Multibody::armature/damping
+    #    multibody.rs:397-404 and MultibodyJoint::set_spring :57) --
+    def with_armature(self, axis: int, value: float):
+        return self._set_axis("armature", axis, float(value))
+
+    def with_joint_damping(self, axis: int, value: float):
+        return self._set_axis("mb_damping", axis, float(value))
+
+    def with_joint_spring(self, axis: int, stiffness: float, rest: float):
+        self._set_axis("mb_spring_stiffness", axis, float(stiffness))
+        return self._set_axis("mb_spring_ref", axis, float(rest))
+
 
 # Convenience aliases mirroring the reference's typed builders.
 def FixedJointBuilder():
@@ -476,6 +493,8 @@ class PhysicsWorld:
         self._pending_bodies: list[RigidBodyBuilder] = []
         self._pending_colliders: list[tuple[ColliderBuilder, int]] = []
         self._pending_joints: list[tuple[GenericJointBuilder, int, int]] = []
+        # (joint, parent_body, child_body, kinematic)
+        self._pending_mb_joints: list[tuple] = []
         self.params = params if params is not None else SimParams()
         self.params = self.params.replace(
             gravity=np.asarray(gravity, np.float32)
@@ -505,6 +524,18 @@ class PhysicsWorld:
         for cb in collider_builders:
             self.insert_collider(cb, h)
         return h
+
+    def insert_multibody_joint(self, body1: int, body2: int,
+                               joint: GenericJointBuilder,
+                               kinematic: bool = False) -> int:
+        """Attach `body2` to `body1` through a reduced-coordinate multibody
+        joint (reference MultibodyJointSet::insert,
+        multibody_joint_set.rs:56).  Bodies connected this way are grouped
+        into articulation trees at build(); their poses are driven by
+        generalized-coordinate forward dynamics."""
+        assert self.state is None, "world already built (rebuild support: TODO)"
+        self._pending_mb_joints.append((joint, body1, body2, kinematic))
+        return len(self._pending_mb_joints) - 1
 
     def insert_impulse_joint(self, body1: int, body2: int,
                              joint: GenericJointBuilder) -> int:
@@ -698,6 +729,13 @@ class PhysicsWorld:
 
         from rapier_tpu.types import Bodies, Colliders
 
+        # Multibody articulations: group multibody-joint edges into trees.
+        # Link bodies become kinematic-position-based: their poses are driven
+        # by the generalized-coordinate dynamics (one-way contact coupling).
+        mb_state = None
+        if self._pending_mb_joints:
+            mb_state = self._build_multibodies(bodies)
+
         # All leaves stay numpy until the first jitted step uploads them —
         # never convert device arrays back to numpy here (D2H poisons the
         # TPU tunnel's fast dispatch path for the whole process).
@@ -707,20 +745,147 @@ class PhysicsWorld:
             contacts=empty_contacts(p_cap),
             joints=joints_state,
             meshes=meshes_state,
+            multibodies=mb_state,
         )
         if any(bb.ccd_enabled for bb in self._pending_bodies):
             self.params = self.params.replace(enable_ccd=True)
-        # Static shape-type inventory: lets the narrow phase skip kernels for
-        # absent pair types at trace time (big win for homogeneous scenes).
+        # Static shape-type census: lets the narrow phase skip kernels for
+        # absent pair TYPES at trace time — including same-type kernels that
+        # cannot fire because only one instance of the type exists (e.g. a
+        # single cuboid ground under a ball pile never produces a
+        # cuboid-cuboid pair; that SAT kernel costs more than every other
+        # kernel combined).  Entries are (shape_type, count) pairs.
+        from collections import Counter
+
+        census = Counter(int(cb.shape_type) for cb, _ in self._pending_colliders)
         self.params = self.params.replace(
-            shape_types_present=tuple(sorted({
-                int(cb.shape_type) for cb, _ in self._pending_colliders
-            }))
+            shape_types_present=tuple(sorted(census.items()))
         )
 
         self.n_bodies = nb
         self.n_colliders = nc
         return self.state
+
+    def _build_multibodies(self, bodies):
+        """Group pending multibody-joint edges into articulation trees and
+        fill a Multibodies pytree (reference MultibodyJointSet::insert
+        grouping, multibody_joint_set.rs:56-180)."""
+        import dataclasses as _dc
+
+        from rapier_tpu.dynamics.multibody import empty_multibodies
+
+        children: dict[int, list[int]] = {}
+        child_joint: dict[int, tuple] = {}
+        for (jb, b1, b2, kin) in self._pending_mb_joints:
+            assert b2 not in child_joint, (
+                f"body {b2} attached to two multibody parents"
+            )
+            children.setdefault(b1, []).append(b2)
+            child_joint[b2] = (jb, b1, kin)
+
+        roots = sorted(
+            b for b in children if b not in child_joint
+        )
+        trees = []
+        for r in roots:
+            order = [r]
+            queue = [r]
+            while queue:  # BFS: parents always precede children
+                b = queue.pop(0)
+                for ch in children.get(b, []):
+                    order.append(ch)
+                    queue.append(ch)
+            trees.append(order)
+
+        m = len(trees)
+        l = max(len(t) for t in trees)
+        mb0 = empty_multibodies(m, l)
+        arr = {f.name: np.asarray(getattr(mb0, f.name)).copy()
+               for f in _dc.fields(mb0)}
+
+        for ti, order in enumerate(trees):
+            body_to_link = {b: i for i, b in enumerate(order)}
+            for li, b in enumerate(order):
+                arr["link_valid"][ti, li] = True
+                arr["link_body"][ti, li] = b
+                if li == 0:
+                    root_dynamic = (
+                        bodies["body_type"][b] == int(BodyType.DYNAMIC)
+                    )
+                    if root_dynamic:
+                        # Free root: 6 dofs; coords carry the world pose
+                        # (multibody_joint.rs:68 free).
+                        arr["locked_axes"][ti, li] = 0
+                        arr["q"][ti, li, :3] = bodies["pos"][b]
+                        arr["joint_rot"][ti, li] = bodies["rot"][b]
+                    else:
+                        arr["locked_axes"][ti, li] = 0b111111
+                    continue
+                jb, parent_b, kin = child_joint[b]
+                arr["link_parent"][ti, li] = body_to_link[parent_b]
+                arr["locked_axes"][ti, li] = jb.locked_axes
+                arr["kinematic"][ti, li] = kin
+                arr["local_pos1"][ti, li] = jb.local_anchor1
+                arr["local_rot1"][ti, li] = _as_quat(jb.local_frame_rot1)
+                arr["local_pos2"][ti, li] = jb.local_anchor2
+                arr["local_rot2"][ti, li] = _as_quat(jb.local_frame_rot2)
+                arr["armature"][ti, li] = jb.armature
+                arr["damping"][ti, li] = jb.mb_damping
+                arr["spring_stiffness"][ti, li] = jb.mb_spring_stiffness
+                arr["spring_ref"][ti, li] = jb.mb_spring_ref
+                for a in range(6):
+                    if jb.limit_axes & (1 << a):
+                        arr["limit_min"][ti, li, a] = jb.limit_min[a]
+                        arr["limit_max"][ti, li, a] = jb.limit_max[a]
+                    if jb.motor_axes & (1 << a):
+                        arr["motor_target_pos"][ti, li, a] = jb.motor_target_pos[a]
+                        arr["motor_target_vel"][ti, li, a] = jb.motor_target_vel[a]
+                        arr["motor_stiffness"][ti, li, a] = jb.motor_stiffness[a]
+                        arr["motor_damping"][ti, li, a] = jb.motor_damping[a]
+                        arr["motor_max_force"][ti, li, a] = min(
+                            jb.motor_max_force[a], 3.4e38
+                        )
+                # Drive the link kinematically: pose comes from FK.
+                bodies["body_type"][b] = int(BodyType.KINEMATIC_POSITION_BASED)
+            root = order[0]
+            if bodies["body_type"][root] == int(BodyType.DYNAMIC):
+                bodies["body_type"][root] = int(
+                    BodyType.KINEMATIC_POSITION_BASED
+                )
+
+        from rapier_tpu.dynamics.multibody import Multibodies
+
+        self._mb_trees = trees
+        return Multibodies(**arr)
+
+    # ------------------------------------------------------------------
+    # Multibody access (reference Multibody::generalized_velocity etc.)
+    # ------------------------------------------------------------------
+    def multibody_q(self, tree: int = 0) -> np.ndarray:
+        """[L, 6] generalized coordinates of articulation `tree`."""
+        return np.asarray(self.state.multibodies.q[tree])
+
+    def multibody_qd(self, tree: int = 0) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(
+            self.state.multibodies.qd[tree].reshape(-1, 6)
+        )
+
+    def set_multibody_motor_targets(self, tree: int, link: int, axis: int,
+                                    target_pos=None, target_vel=None):
+        """apply_controls-style motor retargeting (rapier3d-mjcf
+        runtime.rs:450-507)."""
+        mb = self.state.multibodies
+        upd = {}
+        if target_pos is not None:
+            upd["motor_target_pos"] = jnp.asarray(
+                mb.motor_target_pos
+            ).at[tree, link, axis].set(float(target_pos))
+        if target_vel is not None:
+            upd["motor_target_vel"] = jnp.asarray(
+                mb.motor_target_vel
+            ).at[tree, link, axis].set(float(target_vel))
+        self.state = self.state.replace(multibodies=mb.replace(**upd))
 
     # ------------------------------------------------------------------
     # Stepping & access

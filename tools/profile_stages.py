@@ -36,6 +36,13 @@ def timeit(name, fn, *args, n=5):
 
 
 def main():
+    # Flip the process into synchronous dispatch up front (one D2H): in the
+    # tunnel's async mode block_until_ready does NOT wait and every timing
+    # below would be fiction.  Sync mode adds ~20 ms dispatch overhead per
+    # call — noise against >100 ms stage costs at 512 scenes.
+    import numpy as np
+    np.asarray(jax.device_put(np.ones(1)))
+
     n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     world = mixed_primitives_world(num_layers=4, grid=5, max_pairs=512)
     state0 = world.build()
