@@ -33,20 +33,42 @@ BASELINE_SINGLE_SCENE_STEPS_PER_SEC = 5000.0
 
 
 def main():
+    mode = os.environ.get("BENCH_MODE", "vmapped")
     n_scenes = int(os.environ.get("BENCH_SCENES", "2048"))
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
     settle_steps = int(os.environ.get("BENCH_SETTLE", "150"))
 
     from rapier_tpu.pipeline.physics_pipeline import step
-    from rapier_tpu.scenes import mixed_primitives_world, replicate_scene
-
-    # ~100 bodies: 4 layers x 5x5 grid + ground.
-    world = mixed_primitives_world(num_layers=4, grid=5, max_pairs=512)
-    state0 = world.build()          # numpy leaves: no device transfers yet
-    batch = jax.device_put(
-        jax.tree.map(jnp.asarray, replicate_scene(state0, n_scenes)),
-        jax.devices()[0],
+    from rapier_tpu.scenes import (
+        mixed_primitives_world, pyramid3_world, replicate_scene,
     )
+    from rapier_tpu.types import BroadPhaseKind
+
+    if mode == "pyramid":
+        # Single-scene box-pyramid stress (BASELINE.json metric #1; reference
+        # examples3d/stress_tests/pyramid3.rs, stack 24 = 4900 boxes).
+        stack = int(os.environ.get("BENCH_STACK", "16"))
+        n_scenes = 1
+        world = pyramid3_world(stack_height=stack)
+        world.params = world.params.replace(
+            broad_phase=int(BroadPhaseKind.SAP), sap_window=96,
+        )
+        state0 = world.build()
+        batch = jax.device_put(
+            jax.tree.map(jnp.asarray, replicate_scene(state0, 1)),
+            jax.devices()[0],
+        )
+        label = (f"steps/sec, {stack}-stack pyramid "
+                 f"({state0.bodies.n - 1} boxes, single scene)")
+    else:
+        # ~100 bodies: 4 layers x 5x5 grid + ground.
+        world = mixed_primitives_world(num_layers=4, grid=5, max_pairs=512)
+        state0 = world.build()      # numpy leaves: no device transfers yet
+        batch = jax.device_put(
+            jax.tree.map(jnp.asarray, replicate_scene(state0, n_scenes)),
+            jax.devices()[0],
+        )
+        label = f"env-steps/sec, {n_scenes} vmapped ~100-body scenes (settled)"
     params = world.params           # numpy-leaf pytree (passed as explicit arg)
 
     chunk = min(n_steps, 10)
@@ -85,7 +107,7 @@ def main():
     vs_baseline = env_steps_per_sec / BASELINE_SINGLE_SCENE_STEPS_PER_SEC
 
     print(json.dumps({
-        "metric": f"env-steps/sec, {n_scenes} vmapped ~100-body scenes (settled)",
+        "metric": label,
         "value": round(env_steps_per_sec, 1),
         "unit": "env-steps/sec",
         "vs_baseline": round(vs_baseline, 2),

@@ -89,8 +89,10 @@ class ContactConstraints(NamedTuple):
 
 def _onehot(idx, n):
     """[K] int -> [K, n] f32 selection matrix.  Gathers/scatter-adds become
-    matmuls on this: TPU computed-index scatters serialize, the MXU doesn't."""
-    return (idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
+    matmuls on this: TPU computed-index scatters serialize, the MXU doesn't.
+    broadcasted_iota (not arange) so this also lowers inside Pallas kernels."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    return (idx[:, None] == ids).astype(jnp.float32)
 
 
 def _gather_cl(table, oh):
@@ -106,18 +108,19 @@ def _scatter_add_cl(table, oh, values):
 def compute_tangent_directions(dir1, linvel1, linvel2):
     """Reference compute_tangent_contact_directions (contact_constraint/mod.rs):
     tangent along relative linear velocity projected on the contact plane,
-    orthonormal fallback below 1e-4.  CL layout: [3, P]."""
+    orthonormal fallback below 1e-4.  CL layout: [3, P].  All reductions are
+    explicit 3-term sums (Mosaic-safe, see pallas_sweep.py)."""
     rel = linvel1 - linvel2
     tan = rel - dir1 * dot_cl(dir1, rel)[None]
-    norm = jnp.sqrt(jnp.sum(tan * tan, axis=0, keepdims=True))
+    norm = jnp.sqrt(dot_cl(tan, tan))[None]
     tan_n = tan / jnp.maximum(norm, 1e-12)
-    ex = jnp.zeros_like(dir1).at[0].set(1.0)
-    ey = jnp.zeros_like(dir1).at[1].set(1.0)
-    a = cross_cl(dir1, ex)
-    b = cross_cl(dir1, ey)
-    a_len = jnp.sqrt(jnp.sum(a * a, axis=0, keepdims=True))
+    # cross(dir1, ex) = (0, z, -y); cross(dir1, ey) = (-z, 0, x).
+    zero = jnp.zeros_like(dir1[0])
+    a = jnp.stack([zero, dir1[2], -dir1[1]])
+    b = jnp.stack([-dir1[2], zero, dir1[0]])
+    a_len = jnp.sqrt(dot_cl(a, a))[None]
     fb = jnp.where(a_len > 1e-6, a, b)
-    fb = fb / jnp.maximum(jnp.sqrt(jnp.sum(fb * fb, axis=0, keepdims=True)), 1e-12)
+    fb = fb / jnp.maximum(jnp.sqrt(dot_cl(fb, fb))[None], 1e-12)
     return jnp.where(norm < 1e-4, fb, tan_n)
 
 
@@ -132,10 +135,26 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
     sent = n_bodies
     b1 = jnp.where((man.body1 >= 0) & (man.rel_dominance <= 0), man.body1, sent)
     b2 = jnp.where((man.body2 >= 0) & (man.rel_dominance >= 0), man.body2, sent)
+    return generate_from(
+        b1, b2, man.solver_pair, color, man.normal, man.point,
+        man.point_active, man.dist, man.friction, man.restitution,
+        sb, prev_impulse, n_bodies,
+    )
+
+
+def generate_from(b1, b2, valid, color, normal, point, point_active, dist,
+                  friction, restitution, sb: SolverBodies, prev_impulse,
+                  n_bodies: int, oh1=None, oh2=None):
+    """Core of `generate`, taking resolved solver-body endpoints — callable
+    from inside the Pallas sweep kernel (pallas_sweep.py) where the manifold
+    arrives as a packed row matrix.  Mosaic-safe: every small-axis reduction
+    is an explicit unrolled sum."""
     p = b1.shape[0]
 
-    oh1 = _onehot(b1, n_bodies + 1)
-    oh2 = _onehot(b2, n_bodies + 1)
+    if oh1 is None:
+        oh1 = _onehot(b1, n_bodies + 1)
+    if oh2 is None:
+        oh2 = _onehot(b2, n_bodies + 1)
     v1l = _gather_cl(sb.v_lin, oh1)   # [3, P]
     w1 = _gather_cl(sb.v_ang, oh1)
     v2l = _gather_cl(sb.v_lin, oh2)
@@ -146,80 +165,113 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
     rot2 = _gather_cl(sb.rot, oh2)
     im1 = _gather_cl(sb.im, oh1)
     im2 = _gather_cl(sb.im, oh2)
-    ii1 = jnp.einsum("abn,pn->abp", sb.ii, oh1)   # [3, 3, P]
-    ii2 = jnp.einsum("abn,pn->abp", sb.ii, oh2)
+    # Per-lane world inverse inertia as 9 gathered component rows
+    # [3][3] of [P] (explicit unroll: Mosaic-safe, and identical XLA code).
+    ii_flat = sb.ii.reshape(9, sb.ii.shape[-1])
+    ii1_r = _gather_cl(ii_flat, oh1)               # [9, P]
+    ii2_r = _gather_cl(ii_flat, oh2)
+    ii1 = [[ii1_r[3 * a + b] for b in range(3)] for a in range(3)]
+    ii2 = [[ii2_r[3 * a + b] for b in range(3)] for a in range(3)]
 
-    dir1 = -man.normal                # [3, P]
+    def ii_mul(ii, v):
+        """[3][3] of [P] x [3, P] -> [3, P]."""
+        return jnp.stack([
+            ii[a][0] * v[0] + ii[a][1] * v[1] + ii[a][2] * v[2]
+            for a in range(3)
+        ])
+
+    dir1 = -normal                # [3, P]
     tangent1 = compute_tangent_directions(dir1, v1l, v2l)
     tangent2 = cross_cl(dir1, tangent1)
 
-    pts = man.point                                # [4, 3, P]
-    pmask = man.point_active                       # [4, P]
+    pts = point                                    # [4, 3, P]
+    pmask = point_active                       # [4, P]
     fmask = pmask.astype(jnp.float32)
-    npts = jnp.sum(fmask, axis=0)
+    npts = fmask[0] + fmask[1] + fmask[2] + fmask[3]
     inv_np = 1.0 / jnp.maximum(npts, 1.0)
 
-    dp1 = pts - com1[None]
-    dp2 = pts - com2[None]
-
-    # Per-point velocities: broadcast body vels over the point axis.
-    def pcross(w, dp):   # w [3,P], dp [4,3,P] -> [4,3,P]
-        return jnp.stack([cross_cl(w, dp[k]) for k in range(4)])
-
-    vel1 = v1l[None] + pcross(w1, dp1)
-    vel2 = v2l[None] + pcross(w2, dp2)
-
-    td1 = jnp.stack([cross_cl(dp1[k], dir1) for k in range(4)])     # [4,3,P]
-    td2 = jnp.stack([cross_cl(dp2[k], -dir1) for k in range(4)])
-    iitd1 = jnp.einsum("abp,kbp->kap", ii1, td1)
-    iitd2 = jnp.einsum("abp,kbp->kap", ii2, td2)
-
+    # Per-point quantities, unrolled over the (at most) 4 points.
+    td1_k, td2_k, iitd1_k, iitd2_k = [], [], [], []
+    denom_k, proj_k, lp1_k, lp2_k = [], [], [], []
     imsum = im1 + im2
-    denom = (
-        dot_cl(dir1, imsum * dir1)[None]
-        + jnp.sum(iitd1 * td1, axis=1)
-        + jnp.sum(iitd2 * td2, axis=1)
-    )                                              # [4, P]
-    r = 1.0 / jnp.maximum(denom, 1e-12)
+    dir_im = dot_cl(dir1, imsum * dir1)
+    for k in range(4):
+        dp1 = pts[k] - com1
+        dp2 = pts[k] - com2
+        vel1 = v1l + cross_cl(w1, dp1)
+        vel2 = v2l + cross_cl(w2, dp2)
+        td1 = cross_cl(dp1, dir1)
+        td2 = cross_cl(dp2, -dir1)
+        iitd1 = ii_mul(ii1, td1)
+        iitd2 = ii_mul(ii2, td2)
+        denom_k.append(dir_im + dot_cl(iitd1, td1) + dot_cl(iitd2, td2))
+        proj_k.append(dot_cl(vel1 - vel2, dir1))
+        lp1_k.append(quat.inv_rotate_cl(rot1, dp1))
+        lp2_k.append(quat.inv_rotate_cl(rot2, dp2))
+        td1_k.append(td1)
+        td2_k.append(td2)
+        iitd1_k.append(iitd1)
+        iitd2_k.append(iitd2)
 
-    proj_vel = jnp.sum((vel1 - vel2) * dir1[None], axis=1)   # [4, P]
-    restitution = man.restitution[None]            # [1, P]
+    td1 = jnp.stack(td1_k)                          # [4, 3, P]
+    td2 = jnp.stack(td2_k)
+    iitd1 = jnp.stack(iitd1_k)
+    iitd2 = jnp.stack(iitd2_k)
+    r = 1.0 / jnp.maximum(jnp.stack(denom_k), 1e-12)
+    proj_vel = jnp.stack(proj_k)                    # [4, P]
+    local_p1 = jnp.stack(lp1_k)
+    local_p2 = jnp.stack(lp2_k)
+
+    restitution_row = restitution[None]            # [1, P]
     is_new = prev_impulse == 0.0                   # [4, P]
-    is_bouncy = jnp.where(is_new, restitution > 0.0, restitution >= 1.0)
-    normal_vel_rhs = is_bouncy.astype(jnp.float32) * restitution * proj_vel
-
-    local_p1 = jnp.stack([quat.inv_rotate_cl(rot1, pts[k] - com1) for k in range(4)])
-    local_p2 = jnp.stack([quat.inv_rotate_cl(rot2, pts[k] - com2) for k in range(4)])
+    # f32 select (a where with bool BRANCHES hits a Mosaic bitwidth error).
+    is_bouncy = jnp.where(
+        is_new,
+        (restitution_row > 0.0).astype(jnp.float32),
+        (restitution_row >= 1.0).astype(jnp.float32),
+    )
+    normal_vel_rhs = is_bouncy * restitution_row * proj_vel
 
     # Friction center (twist model).
-    fc = jnp.sum(pts * fmask[:, None, :], axis=0) * inv_np[None]   # [3, P]
+    fc = sum(pts[k] * fmask[k][None] for k in range(4)) * inv_np[None]  # [3,P]
     local_fc1 = quat.inv_rotate_cl(rot1, fc - com1)
     local_fc2 = quat.inv_rotate_cl(rot2, fc - com2)
-    twist_dists = jnp.where(
-        pmask,
-        jnp.sqrt(jnp.maximum(jnp.sum((fc[None] - pts) ** 2, axis=1), 0.0)),
-        0.0,
-    )
+    twist_dists = jnp.stack([
+        jnp.where(
+            pmask[k],
+            jnp.sqrt(jnp.maximum(dot_cl(fc - pts[k], fc - pts[k]), 0.0)),
+            0.0,
+        )
+        for k in range(4)
+    ])
 
     dfp1 = fc - com1
     dfp2 = fc - com2
-    tans = jnp.stack([tangent1, tangent2])          # [2, 3, P]
-    ttd1 = jnp.stack([cross_cl(dfp1, tans[j]) for j in range(2)])
-    ttd2 = jnp.stack([cross_cl(dfp2, -tans[j]) for j in range(2)])
-    tiitd1 = jnp.einsum("abp,jbp->jap", ii1, ttd1)
-    tiitd2 = jnp.einsum("abp,jbp->jap", ii2, ttd2)
-    tr = (
-        jnp.sum(tans * (imsum[None] * tans), axis=1)
-        + jnp.sum(tiitd1 * ttd1, axis=1)
-        + jnp.sum(tiitd2 * ttd2, axis=1)
-    )                                               # [2, P]
+    ttd1_j, ttd2_j, tiitd1_j, tiitd2_j, tr_j = [], [], [], [], []
+    for tan in (tangent1, tangent2):
+        ttd1 = cross_cl(dfp1, tan)
+        ttd2 = cross_cl(dfp2, -tan)
+        tiitd1 = ii_mul(ii1, ttd1)
+        tiitd2 = ii_mul(ii2, ttd2)
+        tr_j.append(
+            dot_cl(tan, imsum * tan)
+            + dot_cl(tiitd1, ttd1) + dot_cl(tiitd2, ttd2)
+        )
+        ttd1_j.append(ttd1)
+        ttd2_j.append(ttd2)
+        tiitd1_j.append(tiitd1)
+        tiitd2_j.append(tiitd2)
+    ttd1 = jnp.stack(ttd1_j)                        # [2, 3, P]
+    ttd2 = jnp.stack(ttd2_j)
+    tiitd1 = jnp.stack(tiitd1_j)
+    tiitd2 = jnp.stack(tiitd2_j)
     tr_coupling = 2.0 * (
-        jnp.sum(tiitd1[0] * ttd1[1], axis=0) + jnp.sum(tiitd2[0] * ttd2[1], axis=0)
+        dot_cl(tiitd1_j[0], ttd1_j[1]) + dot_cl(tiitd2_j[0], ttd2_j[1])
     )
-    tan_r = jnp.concatenate([tr, tr_coupling[None]], axis=0)   # [3, P]
+    tan_r = jnp.stack([tr_j[0], tr_j[1], tr_coupling])   # [3, P]
 
-    twist_ii1 = jnp.einsum("abp,bp->ap", ii1, dir1)
-    twist_ii2 = jnp.einsum("abp,bp->ap", ii2, -dir1)
+    twist_ii1 = ii_mul(ii1, dir1)
+    twist_ii2 = ii_mul(ii2, -dir1)
     twist_r = 1.0 / jnp.maximum(
         dot_cl(twist_ii1, dir1) + dot_cl(twist_ii2, -dir1), 1e-12
     )
@@ -227,13 +279,13 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
     z4 = jnp.zeros((4, p))
     z2 = jnp.zeros((2, p))
     return ContactConstraints(
-        b1=b1, b2=b2, valid=man.solver_pair, color=color,
+        b1=b1, b2=b2, valid=valid, color=color,
         dir1=dir1, tangent1=tangent1, im1=im1, im2=im2,
-        limit=man.friction, point_mask=pmask,
+        limit=friction, point_mask=pmask,
         torque_dir1=td1, torque_dir2=td2,
         ii_torque_dir1=iitd1, ii_torque_dir2=iitd2,
         r=r, local_p1=local_p1, local_p2=local_p2,
-        dist0=man.dist, normal_vel_rhs=normal_vel_rhs,
+        dist0=dist, normal_vel_rhs=normal_vel_rhs,
         rhs=z4, rhs_wo_bias=z4,
         impulse=z4,  # warmstart impulses folded in by the caller
         impulse_acc=z4,

@@ -1,20 +1,28 @@
-"""VMEM-resident TGS-soft contact sweep as ONE Pallas kernel per scene.
+"""VMEM-resident contact solve (generate + TGS-soft sweep) as ONE Pallas
+kernel per scene.
 
-Why: the pure-JAX solver loop (velocity_solver.solve) runs
-``substeps x (pgs + stabilization) x colors`` Gauss-Seidel passes; under XLA
-each pass is a separate while-loop body that re-reads the full constraint
-set from HBM (~400 KB/scene at P=512, ~60+ passes -> ~25 MB of HBM traffic
-per scene-step, the round-1 bottleneck; BASELINE.md).  This kernel loads each
-scene's constraints into VMEM ONCE and runs the entire substep/color loop
-on-chip, reusing the exact `contact_constraints` update/warmstart/solve_color
-functions (pure jnp) inside the kernel so the semantics stay identical to the
-JAX path (reference behavior: src/dynamics/solver/velocity_solver.rs:151-211).
+Why: the pure-JAX solver runs ``substeps x (pgs + stabilization) x colors``
+Gauss-Seidel passes; under XLA each pass is a separate while-loop body that
+re-reads the full constraint set from HBM (~400 KB/scene at P=512, 60+
+passes -> ~25 MB of HBM traffic per scene-step — the round-1 bottleneck;
+BASELINE.md).  This kernel streams each scene's MANIFOLD rows (~40 x P)
+into VMEM once, builds the constraints in-VMEM (contact_constraints.generate
+would otherwise round-trip ~160 x P rows through HBM), and runs the entire
+substep/color loop on-chip.  It reuses the exact `contact_constraints`
+generate/update/warmstart/solve_color functions (pure jnp) inside the kernel
+so the semantics stay identical to the JAX fallback path (reference behavior:
+src/dynamics/solver/velocity_solver.rs:151-211).
 
-Layout: all constraint fields are packed into a single [D, P] f32 matrix
-(lane axis last) so the HBM->VMEM stream is one tile-friendly block per
-scene; fields are row-slices (static offsets).  `jax.vmap` over scenes turns
-the per-scene `pallas_call` into a grid over scenes with automatic double
-buffering of the constraint stream.
+Mosaic survival rules baked into the shared solver code (hard-won; see the
+bisect notes in the round-2 history):
+- no sublane-axis `jnp.sum` over sliced views (explicit unrolled adds)
+- no `.at[k].add` (scatter-add) — unstacked row updates
+- slices of the packed input matrix are laundered (`+ 0.0`) before any
+  fori_loop carry; color 0 of each sweep is peeled out of the loop
+- rank-1 -> rank-2 [None] expansions of loop-carried values are avoided
+  after loops (rank-2 [k:k+1] range slices instead)
+- scalars ride an (8, 128) VMEM tile so `jax.vmap` batching works (SMEM
+  blocks fail the (8, 128)-divisibility check under the vmap rule)
 """
 
 from __future__ import annotations
@@ -30,15 +38,10 @@ from rapier_tpu.dynamics.solver import contact_constraints as cc
 
 
 def _integrate_linearized_rank2(q, w, dt):
-    """quat.integrate_linearized_cl with every intermediate kept rank-2.
-
-    Inside the kernel, rank-1 slices (`q[0]`) of loop-carried arrays followed
-    by re-expansion (jnp.stack / [None]) crash Mosaic's layout inference, so
-    this uses [k:k+1] range slices and concatenation exclusively."""
+    """quat.integrate_linearized_cl with every intermediate kept rank-2."""
     h = dt * 0.5
     hx, hy, hz = w[0:1] * h, w[1:2] * h, w[2:3] * h
     qx, qy, qz, qw = q[0:1], q[1:2], q[2:3], q[3:4]
-    # (hx, hy, hz, 1) ⊗ q
     rx = qx + hx * qw + hy * qz - hz * qy
     ry = qy - hx * qz + hy * qw + hz * qx
     rz = qz + hx * qy - hy * qx + hz * qw
@@ -47,102 +50,41 @@ def _integrate_linearized_rank2(q, w, dt):
     inv = 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-24))
     return jnp.concatenate([rx * inv, ry * inv, rz * inv, rw * inv], axis=0)
 
+
 # ---------------------------------------------------------------------------
-# Packed constraint-matrix layout: (field_name, rows, shape_per_lane).
-# Every field is reshaped to [rows, P] and stacked along rows.
+# Packed manifold-matrix layout: (field, rows).  [D_MAN, P] f32 per scene.
 # ---------------------------------------------------------------------------
-_FIELDS = (
+_MFIELDS = (
     ("b1", 1), ("b2", 1), ("valid", 1), ("color", 1),
-    ("point_mask", 4),
-    ("dir1", 3), ("tangent1", 3), ("im1", 3), ("im2", 3), ("limit", 1),
-    ("torque_dir1", 12), ("torque_dir2", 12),
-    ("ii_torque_dir1", 12), ("ii_torque_dir2", 12),
-    ("r", 4), ("local_p1", 12), ("local_p2", 12),
-    ("dist0", 4), ("normal_vel_rhs", 4),
-    ("tan_torque_dir1", 6), ("tan_torque_dir2", 6),
-    ("tan_ii_torque_dir1", 6), ("tan_ii_torque_dir2", 6),
-    ("tan_r", 3), ("tan_rhs_wo_bias", 2),
-    ("local_fc1", 3), ("local_fc2", 3),
-    ("twist_ii_dir1", 3), ("twist_ii_dir2", 3),
-    ("twist_r", 1), ("twist_dists", 4),
-    ("impulse", 4), ("tan_impulse", 2), ("twist_impulse", 1),
+    ("friction", 1), ("restitution", 1),
+    ("normal", 3), ("point", 12), ("point_active", 4), ("dist", 4),
+    ("prev_impulse", 4), ("ws_n", 4), ("ws_t", 2), ("ws_tw", 1),
 )
-_OFFSETS = {}
+_MOFF = {}
 _D = 0
-for _name, _rows in _FIELDS:
-    _OFFSETS[_name] = (_D, _rows)
+for _name, _rows in _MFIELDS:
+    _MOFF[_name] = (_D, _rows)
     _D += _rows
-D_CONS = _D
+D_MAN = _D
 
 
-def pack_constraints(c: cc.ContactConstraints) -> jax.Array:
-    """Flatten the solver-relevant ContactConstraints fields to [D, P] f32."""
-    p = c.b1.shape[0]
-    rows = []
-    for name, r in _FIELDS:
-        v = getattr(c, name)
-        rows.append(jnp.asarray(v, jnp.float32).reshape(r, p))
-    return jnp.concatenate(rows, axis=0)
-
-
-def _slice(cons, name, shape3=None):
-    off, r = _OFFSETS[name]
-    # `+ 0.0` launders the slice into a freshly-laid-out value: Mosaic's
-    # layout inference aborts (VectorLayout::join rank check) when a sliced
-    # view of the big packed matrix flows directly into a fori_loop carry.
-    v = cons[off:off + r] + 0.0
+def _mslice(mat, name, shape3=None):
+    off, r = _MOFF[name]
+    # `+ 0.0` launders the slice into a freshly-laid-out value (Mosaic's
+    # layout inference aborts when sliced views flow into fori_loop carries).
+    v = mat[off:off + r] + 0.0
     if shape3 is not None:
         v = v.reshape(shape3 + (v.shape[-1],))
     return v
 
 
-def _unpack(cons, p):
-    """Rebuild a ContactConstraints of VALUES from the packed matrix."""
-    f = functools.partial(_slice, cons)
-    z4 = jnp.zeros((4, p), jnp.float32)
-    z2 = jnp.zeros((2, p), jnp.float32)
-    return cc.ContactConstraints(
-        b1=f("b1")[0].astype(jnp.int32),
-        b2=f("b2")[0].astype(jnp.int32),
-        valid=f("valid")[0] > 0.0,
-        color=f("color")[0].astype(jnp.int32),
-        dir1=f("dir1"), tangent1=f("tangent1"),
-        im1=f("im1"), im2=f("im2"), limit=f("limit")[0],
-        point_mask=f("point_mask") > 0.0,
-        torque_dir1=f("torque_dir1", (4, 3)),
-        torque_dir2=f("torque_dir2", (4, 3)),
-        ii_torque_dir1=f("ii_torque_dir1", (4, 3)),
-        ii_torque_dir2=f("ii_torque_dir2", (4, 3)),
-        r=f("r"), local_p1=f("local_p1", (4, 3)), local_p2=f("local_p2", (4, 3)),
-        dist0=f("dist0"), normal_vel_rhs=f("normal_vel_rhs"),
-        rhs=z4, rhs_wo_bias=z4,
-        impulse=f("impulse"), impulse_acc=z4,
-        tan_torque_dir1=f("tan_torque_dir1", (2, 3)),
-        tan_torque_dir2=f("tan_torque_dir2", (2, 3)),
-        tan_ii_torque_dir1=f("tan_ii_torque_dir1", (2, 3)),
-        tan_ii_torque_dir2=f("tan_ii_torque_dir2", (2, 3)),
-        tan_r=f("tan_r"), tan_rhs=z2,
-        tan_rhs_wo_bias=f("tan_rhs_wo_bias"),
-        tan_impulse=f("tan_impulse"), tan_impulse_acc=z2,
-        local_fc1=f("local_fc1"), local_fc2=f("local_fc2"),
-        twist_ii_dir1=f("twist_ii_dir1"), twist_ii_dir2=f("twist_ii_dir2"),
-        twist_r=f("twist_r")[0], twist_dists=f("twist_dists"),
-        twist_impulse=f("twist_impulse")[0],
-        twist_impulse_acc=jnp.zeros((p,), jnp.float32),
-        cfm_factor=jnp.float32(1.0),
-    )
-
-
-def _kernel(scalars_ref, ncol_ref, cons_ref, vlin_ref, vang_ref, com_ref,
-            rot_ref, dv_ref, dw_ref, move_ref,
+def _kernel(scalars_ref, ncol_ref, man_ref, vlin_ref, vang_ref, com_ref,
+            rot_ref, im_ref, ii_ref, dv_ref, dw_ref, move_ref,
             out_vlin, out_vang, out_com, out_rot, out_imp,
             *, n_sub, pgs_iters, stab_iters):
-    p = cons_ref.shape[-1]
+    p = man_ref.shape[-1]
     n1 = vlin_ref.shape[-1]
 
-    # Scalars ride in an (8, 128) VMEM tile (column 0), NOT SMEM: the vmap
-    # batching rule blocks every input with size 1 on the scene axis, and
-    # SMEM/small-VMEM blocks fail the (8, 128)-divisibility check.
     dt_sub = scalars_ref[0, 0]
     inv_dt_sub = scalars_ref[1, 0]
     erp_inv_dt = scalars_ref[2, 0]
@@ -152,30 +94,46 @@ def _kernel(scalars_ref, ncol_ref, cons_ref, vlin_ref, vang_ref, com_ref,
     warmstart_coeff = scalars_ref[6, 0]
     num_colors = ncol_ref[0, 0]
 
-    cons = _unpack(cons_ref[...], p)
+    man = man_ref[...]
+    f = functools.partial(_mslice, man)
+    b1 = f("b1")[0].astype(jnp.int32)
+    b2 = f("b2")[0].astype(jnp.int32)
+    valid = f("valid")[0] > 0.0
+    color = f("color")[0].astype(jnp.int32)
+
     sb = cc.SolverBodies(
         v_lin=vlin_ref[...], v_ang=vang_ref[...],
         com=com_ref[...], rot=rot_ref[...],
-        im=jnp.zeros((3, n1), jnp.float32),   # unused by the contact sweep
-        ii=jnp.zeros((1, 1, n1), jnp.float32),
+        im=im_ref[...], ii=ii_ref[...],
     )
     dv_inc = dv_ref[...]
     dw_inc = dw_ref[...]
-    move = move_ref[...] > 0.0               # [1, N1]: keep rank 2 — rank-1
-    # slices + [None] re-expansion trip Mosaic layout inference (see _slice)
+    move = move_ref[...] > 0.0               # [1, N1] rank-2
 
     # One-hot gather/scatter matrices (built once, VMEM-resident).
     ids = jax.lax.broadcasted_iota(jnp.int32, (p, n1), 1)
-    oh1 = (cons.b1[:, None] == ids).astype(jnp.float32)
-    oh2 = (cons.b2[:, None] == ids).astype(jnp.float32)
+    oh1 = (b1[:, None] == ids).astype(jnp.float32)
+    oh2 = (b2[:, None] == ids).astype(jnp.float32)
+
+    # In-VMEM constraint generation (contact_with_twist_friction.rs:48-250).
+    cons = cc.generate_from(
+        b1, b2, valid, color,
+        f("normal"), f("point", (4, 3)), f("point_active") > 0.0,
+        f("dist"), f("friction")[0], f("restitution")[0],
+        sb, f("prev_impulse"), n1 - 1, oh1=oh1, oh2=oh2,
+    )
+    # Warmstart-cache injection (matched impulses from the previous step).
+    cons = cons._replace(
+        impulse=f("ws_n") * cons.point_mask,
+        tan_impulse=f("ws_t"),
+        twist_impulse=f("ws_tw")[0],
+    )
 
     def sweep(cons, sb, use_bias):
         """Gauss-Seidel pass over all colors: color 0 peeled + fori over the
-        rest.  The peel is load-bearing, not an optimization — feeding the
-        update/warmstart outputs directly into a fori_loop carry crashes
-        Mosaic layout inference (VectorLayout::join rank check); one inlined
-        solve_color call gives every carried array a loop-compatible layout.
-        Semantics are identical (colors solved 0..num_colors-1 in order)."""
+        rest.  The peel is load-bearing — feeding fresh values straight into
+        a fori_loop carry crashes Mosaic layout inference; one inlined
+        solve_color gives every carried array a loop-compatible layout."""
         cons, sb = cc.solve_color(
             cons, sb, jnp.int32(0), oh1, oh2, use_bias=use_bias
         )
@@ -233,20 +191,35 @@ def _kernel(scalars_ref, ncol_ref, cons_ref, vlin_ref, vang_ref, com_ref,
     out_imp[13, :] = cons.twist_impulse_acc
 
 
-def solve(sb: cc.SolverBodies, constraints: cc.ContactConstraints, num_colors,
-          dv_inc, dw_inc, move_mask, *, dt_sub, inv_dt_sub, erp_inv_dt,
-          cfm_factor, allowed_lin_err, max_corrective_velocity,
-          warmstart_coeff, n_sub: int, pgs_iters: int, stab_iters: int,
-          interpret: bool = False):
-    """Contacts-only TGS-soft solve, one VMEM-resident kernel per scene.
+def solve_from_manifolds(sb: cc.SolverBodies, *, b1, b2, valid, color,
+                         num_colors, normal, point, point_active, dist,
+                         friction, restitution, prev_impulse, ws_n, ws_t,
+                         ws_tw, dv_inc, dw_inc, move_mask, dt_sub, inv_dt_sub,
+                         erp_inv_dt, cfm_factor, allowed_lin_err,
+                         max_corrective_velocity, warmstart_coeff, n_sub: int,
+                         pgs_iters: int, stab_iters: int,
+                         interpret: bool = False):
+    """Contacts-only TGS-soft solve with in-kernel constraint generation.
 
-    Mirrors velocity_solver.solve for the joints=None case; returns
-    (sb, constraints) with the same post-solve field semantics as the JAX
-    path (impulse/impulse_acc/... carry the last-substep values).
+    Returns (sb, impulse_block [14, P]) where the block rows are
+    impulse(4) / impulse_acc(4) / tan(2) / tan_acc(2) / twist / twist_acc —
+    the same post-solve values the JAX path leaves on ContactConstraints.
     """
-    p = constraints.b1.shape[0]
+    p = b1.shape[0]
     n1 = sb.v_lin.shape[1]
-    cons = pack_constraints(constraints)
+
+    def rows(x, r):
+        return jnp.asarray(x, jnp.float32).reshape(r, p)
+
+    man = jnp.concatenate([
+        rows(b1, 1), rows(b2, 1), rows(valid, 1), rows(color, 1),
+        rows(friction, 1), rows(restitution, 1),
+        rows(normal, 3), rows(point, 12), rows(point_active, 4),
+        rows(dist, 4), rows(prev_impulse, 4),
+        rows(ws_n, 4), rows(ws_t, 2), rows(ws_tw, 1),
+    ], axis=0)
+    assert man.shape[0] == D_MAN
+
     scalars = jnp.broadcast_to(
         jnp.stack([
             jnp.asarray(dt_sub, jnp.float32),
@@ -280,16 +253,18 @@ def solve(sb: cc.SolverBodies, constraints: cc.ContactConstraints, num_colors,
     vlin, vang, com, rot, imp = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[vmem] * 10,
+        in_specs=[vmem] * 12,
         out_specs=(vmem,) * 5,
         interpret=interpret,
-    )(scalars, ncol, cons, sb.v_lin, sb.v_ang, sb.com, sb.rot,
+    )(scalars, ncol, man, sb.v_lin, sb.v_ang, sb.com, sb.rot, sb.im, sb.ii,
       dv_inc, dw_inc, move)
 
     sb = sb._replace(v_lin=vlin, v_ang=vang, com=com, rot=rot)
-    constraints = constraints._replace(
-        impulse=imp[0:4], impulse_acc=imp[4:8],
-        tan_impulse=imp[8:10], tan_impulse_acc=imp[10:12],
-        twist_impulse=imp[12], twist_impulse_acc=imp[13],
-    )
-    return sb, constraints
+    return sb, imp
+
+
+def vmem_feasible(p_lanes: int, n1: int) -> bool:
+    """Whether the per-scene working set (packed manifold + two [P, N+1]
+    one-hots + generated constraints + intermediates) fits VMEM."""
+    est = (p_lanes * (2 * n1 + 4 * D_MAN + 700)) * 4
+    return est < 10 * 2**20

@@ -135,52 +135,50 @@ def integrate_poses(sb: cc.SolverBodies, move_mask, dt_sub) -> cc.SolverBodies:
     return sb._replace(com=com, rot=rot)
 
 
-def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
-          num_colors, active, params: SimParams,
-          joints=None, joint_color=None, num_joint_colors=None):
-    """Run the full TGS-soft substep loop.
-
-    Returns (sb, constraints, joint_rows).  `joint_rows` is None when no
-    joints were passed; otherwise it carries the last-substep impulses.
-    """
+def substep_inputs(bodies, sb, active, params: SimParams):
+    """Everything the TGS substep loop needs besides the constraints: the
+    substep rates, soft-constraint coefficients, per-substep velocity
+    increments, and the mover mask.  Shared by the JAX path (solve) and the
+    Pallas kernel path (pallas_sweep.solve_from_manifolds)."""
     n_sub = params.num_solver_iterations
     dt_sub = params.dt / n_sub
     inv_dt_sub = jnp.where(dt_sub == 0, 0.0, 1.0 / dt_sub)
-
     erp_inv_dt = spring_erp_inv_dt(
         params.contact_natural_frequency, params.contact_damping_ratio, dt_sub
     )
     cfm_factor = spring_cfm_factor(
         params.contact_natural_frequency, params.contact_damping_ratio, dt_sub
     )
-
     dv_inc, dw_inc = velocity_increments(bodies, sb, active, params, dt_sub)
     move_mask = jnp.concatenate([
         active & ((bodies.body_type == BodyType.DYNAMIC) | bodies.is_kinematic()),
         jnp.zeros((1,), bool),
     ])
+    return dict(
+        n_sub=n_sub, dt_sub=dt_sub, inv_dt_sub=inv_dt_sub,
+        erp_inv_dt=erp_inv_dt, cfm_factor=cfm_factor,
+        dv_inc=dv_inc, dw_inc=dw_inc, move_mask=move_mask,
+    )
 
-    # Contacts-only scenes take the VMEM-resident Pallas sweep on TPU: the
-    # whole substep/color loop runs in one kernel per scene instead of
-    # re-reading the constraint set from HBM every color pass.
-    backend = params.solver_backend
-    if joints is None and backend != "jax" and (
-        backend == "pallas" or jax.default_backend() == "tpu"
-    ):
-        from rapier_tpu.dynamics.solver import pallas_sweep
 
-        sb, constraints = pallas_sweep.solve(
-            sb, constraints, num_colors, dv_inc, dw_inc, move_mask,
-            dt_sub=dt_sub, inv_dt_sub=inv_dt_sub,
-            erp_inv_dt=erp_inv_dt, cfm_factor=cfm_factor,
-            allowed_lin_err=params.allowed_linear_error(),
-            max_corrective_velocity=params.max_corrective_velocity(),
-            warmstart_coeff=params.warmstart_coefficient,
-            n_sub=n_sub, pgs_iters=params.num_internal_pgs_iterations,
-            stab_iters=params.num_internal_stabilization_iterations,
-            interpret=jax.default_backend() != "tpu",
-        )
-        return sb, constraints, None
+def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
+          num_colors, active, params: SimParams,
+          joints=None, joint_color=None, num_joint_colors=None):
+    """Run the full TGS-soft substep loop (pure-JAX path; contacts-only
+    scenes on TPU take pallas_sweep.solve_from_manifolds instead, dispatched
+    by the pipeline).
+
+    Returns (sb, constraints, joint_rows).  `joint_rows` is None when no
+    joints were passed; otherwise it carries the last-substep impulses.
+    """
+    si = substep_inputs(bodies, sb, active, params)
+    n_sub = si["n_sub"]
+    dt_sub = si["dt_sub"]
+    inv_dt_sub = si["inv_dt_sub"]
+    erp_inv_dt = si["erp_inv_dt"]
+    cfm_factor = si["cfm_factor"]
+    dv_inc, dw_inc = si["dv_inc"], si["dw_inc"]
+    move_mask = si["move_mask"]
 
     # One-hot gather/scatter matrices: loop-invariant, built once.
     oh1, oh2 = cc.pair_onehots(constraints, sb.v_lin.shape[1])

@@ -32,6 +32,19 @@ from rapier_tpu.dynamics.solver.coloring import color_constraints
 from rapier_tpu.types import BodyType, Contacts, SceneState, SimParams
 
 
+class _SolvedImpulses(NamedTuple):
+    """The post-solve impulse fields the contact cache needs — what the
+    Pallas kernel path returns instead of a full ContactConstraints."""
+
+    impulse: jax.Array           # [4, P]
+    impulse_acc: jax.Array       # [4, P]
+    tan_impulse: jax.Array       # [2, P]
+    tan_impulse_acc: jax.Array   # [2, P]
+    twist_impulse: jax.Array     # [P]
+    twist_impulse_acc: jax.Array # [P]
+    point_mask: jax.Array        # [4, P]
+
+
 class StepEvents(NamedTuple):
     """Collision events as dense per-pair arrays (the TPU recast of the
     reference EventHandler callbacks, src/pipeline/event_handler.rs:94)."""
@@ -340,31 +353,77 @@ def step(state: SceneState, params: SimParams, hooks=None):
         man.body1, man.body2, dyn1, dyn2, solver_pair, n, params.max_colors
     )
 
-    constraints = cc.generate(man, sb, prev_imp, color, n)
-    # Inject matched warmstart impulses (everything is lane-last already).
-    constraints = constraints._replace(
-        impulse=ws_n * constraints.point_mask,
-        tan_impulse=ws_t,
-        twist_impulse=ws_tw,
+    # Contacts-only scenes on TPU take the VMEM-resident Pallas kernel:
+    # constraint generation + the whole substep/color loop run on-chip from
+    # a ~40-row manifold stream (no HBM constraint round-trips).
+    backend = params.solver_backend
+    from rapier_tpu.dynamics.solver import pallas_sweep
+
+    use_pallas = (
+        joints is None
+        and backend != "jax"
+        and pallas_sweep.vmem_feasible(man.body1.shape[0], n + 1)
+        and (backend == "pallas" or jax.default_backend() == "tpu")
     )
 
-    if joints is not None:
-        jdyn1 = (joints.body1 >= 0) & dyn[jnp.maximum(joints.body1, 0)]
-        jdyn2 = (joints.body2 >= 0) & dyn[jnp.maximum(joints.body2, 0)]
-        jvalid = joints.enabled & (joints.body1 >= 0)
-        joint_color, num_joint_colors = color_constraints(
-            joints.body1, joints.body2, jdyn1, jdyn2, jvalid, n, params.max_colors
+    if use_pallas:
+        si = vs.substep_inputs(bodies, sb, active, params)
+        sent = n
+        b1s = jnp.where((man.body1 >= 0) & (man.rel_dominance <= 0),
+                        man.body1, sent)
+        b2s = jnp.where((man.body2 >= 0) & (man.rel_dominance >= 0),
+                        man.body2, sent)
+        sb, imp = pallas_sweep.solve_from_manifolds(
+            sb, b1=b1s, b2=b2s, valid=solver_pair, color=color,
+            num_colors=num_colors, normal=man.normal, point=man.point,
+            point_active=man.point_active, dist=man.dist,
+            friction=man.friction, restitution=man.restitution,
+            prev_impulse=prev_imp, ws_n=ws_n * man.point_active, ws_t=ws_t,
+            ws_tw=ws_tw, dv_inc=si["dv_inc"], dw_inc=si["dw_inc"],
+            move_mask=si["move_mask"], dt_sub=si["dt_sub"],
+            inv_dt_sub=si["inv_dt_sub"], erp_inv_dt=si["erp_inv_dt"],
+            cfm_factor=si["cfm_factor"],
+            allowed_lin_err=params.allowed_linear_error(),
+            max_corrective_velocity=params.max_corrective_velocity(),
+            warmstart_coeff=params.warmstart_coefficient,
+            n_sub=si["n_sub"],
+            pgs_iters=params.num_internal_pgs_iterations,
+            stab_iters=params.num_internal_stabilization_iterations,
+            interpret=jax.default_backend() != "tpu",
+        )
+        constraints = _SolvedImpulses(
+            impulse=imp[0:4], impulse_acc=imp[4:8],
+            tan_impulse=imp[8:10], tan_impulse_acc=imp[10:12],
+            twist_impulse=imp[12], twist_impulse_acc=imp[13],
+            point_mask=man.point_active,
         )
     else:
-        joint_color, num_joint_colors = None, None
+        constraints = cc.generate(man, sb, prev_imp, color, n)
+        # Inject matched warmstart impulses (lane-last already).
+        constraints = constraints._replace(
+            impulse=ws_n * constraints.point_mask,
+            tan_impulse=ws_t,
+            twist_impulse=ws_tw,
+        )
 
-    sb, constraints, joint_rows = vs.solve(
-        bodies, sb, constraints, num_colors, active, params,
-        joints=joints, joint_color=joint_color,
-        num_joint_colors=num_joint_colors,
-    )
-    if joints is not None and joint_rows is not None:
-        joints = joints.replace(impulses=joint_rows.impulse)
+        if joints is not None:
+            jdyn1 = (joints.body1 >= 0) & dyn[jnp.maximum(joints.body1, 0)]
+            jdyn2 = (joints.body2 >= 0) & dyn[jnp.maximum(joints.body2, 0)]
+            jvalid = joints.enabled & (joints.body1 >= 0)
+            joint_color, num_joint_colors = color_constraints(
+                joints.body1, joints.body2, jdyn1, jdyn2, jvalid, n,
+                params.max_colors
+            )
+        else:
+            joint_color, num_joint_colors = None, None
+
+        sb, constraints, joint_rows = vs.solve(
+            bodies, sb, constraints, num_colors, active, params,
+            joints=joints, joint_color=joint_color,
+            num_joint_colors=num_joint_colors,
+        )
+        if joints is not None and joint_rows is not None:
+            joints = joints.replace(impulses=joint_rows.impulse)
     bodies = vs.writeback(bodies, sb, active, params)
 
     # ------------------------------------------------------------------

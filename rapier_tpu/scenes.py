@@ -92,3 +92,31 @@ def replicate_scene(state, batch: int):
         lambda x: np.broadcast_to(np.asarray(x)[None], (batch,) + np.asarray(x).shape).copy(),
         state,
     )
+
+
+def pyramid3_world(stack_height: int = 12, half: float = 1.0,
+                   **world_kw) -> PhysicsWorld:
+    """3D square pyramid stress scene (reference
+    examples3d/stress_tests/pyramid3.rs:4-64): stack_height levels, level i
+    holds (stack_height - i)^2 cuboids — stack 24 = 4,900 boxes, stack 31 =
+    10,416 ("the 10k-box pyramid")."""
+    w = PhysicsWorld(**world_kw)
+    ground = w.insert_body(
+        RigidBodyBuilder.fixed().with_translation((0.0, -0.1, 0.0))
+    )
+    w.insert_collider(ColliderBuilder.cuboid(50.0, 0.1, 50.0), ground)
+
+    shift = half * 2.5
+    bottomy = half
+    n = stack_height
+    for i in range(n):
+        for j in range(i, n):
+            for k in range(i, n):
+                x = i * shift / 2.0 + (k - i) * shift - n * half
+                y = i * shift + bottomy
+                z = i * shift / 2.0 + (j - i) * shift - n * half
+                b = w.insert_body(
+                    RigidBodyBuilder.dynamic().with_translation((x, y, z))
+                )
+                w.insert_collider(ColliderBuilder.cuboid(half, half, half), b)
+    return w
