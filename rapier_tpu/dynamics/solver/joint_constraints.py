@@ -20,9 +20,9 @@ Fixed row-slot layout per joint lane (masked when unused):
 | 13-15 | angular limit                        |
 | 16-18 | linear limit                         |
 | 19    | coupled linear limit                 |
-| 20    | coupled angular limit (TODO: like the reference's limit_angular_coupled) |
+| 20    | coupled angular limit (spherical swing limits) |
 
-Group A (0-6) and group B (7-20) are orthogonalized independently, matching
+Group A (0-6) and group B (7-20, incl. slot 20) are orthogonalized independently, matching
 the reference's two finalize_constraints calls.
 """
 
@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from rapier_tpu.math import quat
 from rapier_tpu.types import (
+    JOINT_ANG_AXES,
     JOINT_LIN_AXES,
     MAX_JOINT_ROWS,
     MotorModel,
@@ -361,7 +362,56 @@ def build_rows(joints, sb, color, params_dt, inv_dt, n_bodies: int) -> JointRows
         set_row(19, lj, aj1, aj2, rwb, rb, cfm_coeff_j, zero,
                 zero, jnp.full((j,), _BIG), act)
 
-    # Slot 20 (coupled angular limit) intentionally inactive for now.
+    # --- slot 20: coupled angular limit (builder.limit_angular_coupled,
+    #     joint_constraint_builder.rs:814-874) — spherical swing limits.
+    #     Exactly 2 coupled angular axes: the constraint acts on the arc
+    #     angle between the two frames' NON-coupled axis columns. ---
+    if True:
+        basis2 = quat.to_matrix(f2_rot)
+        ang_coupled = (coupled_b >> 3) & 0b111
+        # trailing_ones(ang_coupled): index of the first non-coupled ang axis.
+        nc = jnp.where(
+            (ang_coupled & 1) == 0, 0,
+            jnp.where((ang_coupled & 2) == 0, 1,
+                      jnp.where((ang_coupled & 4) == 0, 2, 0)),
+        )
+        oh_nc = jax.nn.one_hot(nc, 3)                      # [J, 3]
+        axis1 = jnp.einsum("jab,jb->ja", basis, oh_nc)     # world columns
+        axis2 = jnp.einsum("jab,jb->ja", basis2, oh_nc)
+        cr = jnp.cross(axis1, axis2)
+        s = jnp.linalg.norm(cr, axis=-1)
+        cth = jnp.clip(_dot(axis1, axis2), -1.0, 1.0)
+        angle = jnp.arctan2(s, cth)
+        # Fallback jacobian at angle 0: any vector orthogonal to axis1.
+        f1 = jnp.cross(axis1, jnp.array([1.0, 0.0, 0.0]))
+        f2_ = jnp.cross(axis1, jnp.array([0.0, 1.0, 0.0]))
+        fb = jnp.where(
+            (jnp.sum(f1 * f1, -1) > 1e-8)[:, None], f1, f2_
+        )
+        aj = jnp.where(
+            (s > 1e-8)[:, None],
+            cr / jnp.maximum(s, 1e-12)[:, None],
+            fb / jnp.maximum(jnp.linalg.norm(fb, axis=-1, keepdims=True), 1e-9),
+        )
+        # Swing limits come from the first coupled angular axis' slot.
+        fa_c = jnp.where(
+            (ang_coupled & 1) != 0, 3,
+            jnp.where((ang_coupled & 2) != 0, 4, 5),
+        )
+        take_ax = lambda arr: jnp.take_along_axis(arr, fa_c[:, None], axis=1)[:, 0]
+        lmin = take_ax(joints.limit_min)
+        lmax = take_ax(joints.limit_max)
+        min_en = angle <= lmin
+        max_en = lmax <= angle
+        rb = (jnp.maximum(angle - lmax, 0.0)
+              - jnp.maximum(lmin - angle, 0.0)) * erp_inv_dt_j
+        n_ang_coupled = (
+            (ang_coupled & 1) + ((ang_coupled >> 1) & 1) + ((ang_coupled >> 2) & 1)
+        )
+        act = ((limit_b & coupled_b & JOINT_ANG_AXES) != 0) & (n_ang_coupled == 2)
+        set_row(20, jnp.zeros((j, 3)), aj, aj, zero, rb, cfm_coeff_j, zero,
+                jnp.where(min_en, -_BIG, 0.0), jnp.where(max_en, _BIG, 0.0),
+                act)
 
     ii_ang_jac1 = jnp.einsum("jab,jrb->jra", ii1, ang_jac1)
     ii_ang_jac2 = jnp.einsum("jab,jrb->jra", ii2, ang_jac2)
@@ -407,7 +457,7 @@ def build_rows(joints, sb, color, params_dt, inv_dt, n_bodies: int) -> JointRows
                 rhs_wo_bias = rhs_wo_bias.at[:, ii_s].add(-rhs_wo_bias[:, jj] * coeff)
 
     orthogonalize(range(0, 7))
-    orthogonalize(range(7, 20))
+    orthogonalize(range(7, 21))
 
     return JointRows(
         b1=b1, b2=b2, valid=valid, color=color, im1=im1, im2=im2,

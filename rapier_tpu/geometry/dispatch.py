@@ -111,7 +111,7 @@ assert all(k[0] <= k[1] for k in _PAIR_KERNELS), "registry keys must be canonica
 _HALFSPACE_CONVEX = (
     ShapeType.BALL, ShapeType.CUBOID, ShapeType.CAPSULE, ShapeType.SEGMENT,
     ShapeType.CYLINDER, ShapeType.CONE, ShapeType.ROUND_CUBOID,
-    ShapeType.ROUND_CYLINDER, ShapeType.ROUND_CONE,
+    ShapeType.ROUND_CYLINDER, ShapeType.ROUND_CONE, ShapeType.CONVEX,
 )
 
 
@@ -121,7 +121,7 @@ def _order_rank(t):
 
 
 def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
-                      present: tuple = ()):
+                      present: tuple = (), hulls=None):
     """Compute contact manifolds for the pair buffer.
 
     Args:
@@ -215,6 +215,23 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
     pA, rA, prmA = TA[0:3], TA[3:7], TA[7:19]
     pB, rB, prmB = TB[0:3], TB[3:7], TB[7:19]
 
+    # CONVEX hull vertex slots per lane ([V, 3, P], lane-last), gathered from
+    # the scene hull table by the hull index stored in shape_params[0].
+    hullA = hullB = None
+    if hulls is not None and _has(ShapeType.CONVEX):
+        hv = hulls.vertices                              # [H, V, 3]
+        h_n = hv.shape[0]
+
+        def lane_hulls(t_row, prm_row):
+            hidx = jnp.where(
+                t_row == ShapeType.CONVEX, prm_row[0].astype(jnp.int32), 0
+            )
+            ohh = (hidx[:, None] == jnp.arange(h_n)[None, :]).astype(f32)
+            return jnp.einsum("ph,hvj->vjp", ohh, hv)
+
+        hullA = lane_hulls(tA, prmA)
+        hullB = lane_hulls(tB, prmB)
+
     # Run every (present) kernel on every lane; select by type mask.
     # Kernels are written per-lane; vmap with the lane axis LAST keeps every
     # batched intermediate tile-friendly.
@@ -265,7 +282,12 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
             convA = convA | (tA == t)
             convB = convB | (tB == t)
         cc_mask = pair_valid & ~matched & convA & convB
-        man_cc = vlane(convex_convex)(pA, rA, tA, prmA, pB, rB, tB, prmB)
+        if hullA is not None:
+            man_cc = vlane(convex_convex)(
+                pA, rA, tA, prmA, pB, rB, tB, prmB, hullA, hullB
+            )
+        else:
+            man_cc = vlane(convex_convex)(pA, rA, tA, prmA, pB, rB, tB, prmB)
         merge(cc_mask, man_cc)
 
     # Halfspace kernels: analytic for ball/capsule, generic perturbed-support
@@ -286,7 +308,14 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
             conv_ok = jnp.zeros((P,), bool)
             for t in hs_generic:
                 conv_ok = conv_ok | (tA == t)
-            man_hs = vlane(nph.convex_halfspace)(pA, rA, tA, prmA, pB, rB, prmB)
+            if hullA is not None:
+                man_hs = vlane(nph.convex_halfspace)(
+                    pA, rA, tA, prmA, pB, rB, prmB, hullA
+                )
+            else:
+                man_hs = vlane(nph.convex_halfspace)(
+                    pA, rA, tA, prmA, pB, rB, prmB
+                )
             merge(hs_mask & conv_ok, man_hs)
 
     # Restore original pair orientation: normal points collider1 -> collider2.

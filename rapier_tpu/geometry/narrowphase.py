@@ -348,7 +348,7 @@ def capsule_halfspace(pA, rA, prmA, pB, rB, prmB) -> Manifold:
 # ---------------------------------------------------------------------------
 
 
-def convex_halfspace(pA, rA, stA, prmA, pB, rB, prmB) -> Manifold:
+def convex_halfspace(pA, rA, stA, prmA, pB, rB, prmB, hullA=None) -> Manifold:
     """Any convex shape A vs halfspace B.
 
     Samples the support function of A along the plane normal perturbed towards
@@ -385,12 +385,13 @@ def convex_halfspace(pA, rA, stA, prmA, pB, rB, prmB) -> Manifold:
     )
     border = jnp.where(
         stA == ShapeType.ROUND_CUBOID, prmA[3],
-        jnp.where(is_round, prmA[2], 0.0),
+        jnp.where(is_round, prmA[2],
+                  jnp.where(stA == ShapeType.CONVEX, prmA[1], 0.0)),
     )
 
     def support_w(d_w):
         d_l = quat.inv_rotate(rA, d_w)
-        s_l = shp.support_point(stA, prmA, d_l)
+        s_l = shp.support_point(stA, prmA, d_l, hullA)
         return quat.transform_point(pA, rA, s_l), s_l
 
     sw, sl = jax.vmap(support_w)(dirs_w)

@@ -35,7 +35,7 @@ from rapier_tpu.types import ShapeType
 SUPPORTED = (
     ShapeType.BALL, ShapeType.CUBOID, ShapeType.CAPSULE, ShapeType.SEGMENT,
     ShapeType.CYLINDER, ShapeType.CONE, ShapeType.ROUND_CUBOID,
-    ShapeType.ROUND_CYLINDER, ShapeType.ROUND_CONE,
+    ShapeType.ROUND_CYLINDER, ShapeType.ROUND_CONE, ShapeType.CONVEX,
 )
 
 
@@ -44,12 +44,14 @@ def _border_radius(st, prm):
         st == ShapeType.ROUND_CUBOID, prm[3],
         jnp.where(
             (st == ShapeType.ROUND_CYLINDER) | (st == ShapeType.ROUND_CONE),
-            prm[2], 0.0,
+            prm[2],
+            jnp.where(st == ShapeType.CONVEX, prm[1], 0.0),
         ),
     )
 
 
-def support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB):
+def support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB,
+                hullA=None, hullB=None):
     """Sampled-SAT separation estimate only: (gap, axis A->B).
 
     The cheap core of convex_convex, reused by shape casts and CCD where the
@@ -58,11 +60,11 @@ def support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB):
     bB = _border_radius(stB, prmB)
 
     def supp_A(d_w):
-        s_l = shp.support_point(stA, prmA, quat.inv_rotate(rA, d_w))
+        s_l = shp.support_point(stA, prmA, quat.inv_rotate(rA, d_w), hullA)
         return quat.transform_point(pA, rA, s_l)
 
     def supp_B(d_w):
-        s_l = shp.support_point(stB, prmB, quat.inv_rotate(rB, d_w))
+        s_l = shp.support_point(stB, prmB, quat.inv_rotate(rB, d_w), hullB)
         return quat.transform_point(pB, rB, s_l)
 
     mA = quat.to_matrix(rA)
@@ -93,19 +95,20 @@ def support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB):
     return jnp.max(gaps), oh @ cand
 
 
-def convex_convex(pA, rA, stA, prmA, pB, rB, stB, prmB) -> Manifold:
+def convex_convex(pA, rA, stA, prmA, pB, rB, stB, prmB,
+                  hullA=None, hullB=None) -> Manifold:
     bA = _border_radius(stA, prmA)
     bB = _border_radius(stB, prmB)
 
     def supp_A(d_w):
-        s_l = shp.support_point(stA, prmA, quat.inv_rotate(rA, d_w))
+        s_l = shp.support_point(stA, prmA, quat.inv_rotate(rA, d_w), hullA)
         return quat.transform_point(pA, rA, s_l), s_l
 
     def supp_B(d_w):
-        s_l = shp.support_point(stB, prmB, quat.inv_rotate(rB, d_w))
+        s_l = shp.support_point(stB, prmB, quat.inv_rotate(rB, d_w), hullB)
         return quat.transform_point(pB, rB, s_l), s_l
 
-    dist, n = support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB)
+    dist, n = support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB, hullA, hullB)
 
     # --- manifold: perturbed support patches on both sides ---
     t1 = jnp.cross(n, jnp.array([1.0, 0.0, 0.0]))

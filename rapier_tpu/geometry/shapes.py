@@ -99,11 +99,14 @@ def compute_aabbs(shape_type, shape_params, pos, rot):
                    he_round_cyl,
          jnp.where((st == ShapeType.TRIMESH) | (st == ShapeType.HEIGHTFIELD),
                    he_mesh,
-                   big))))))))
+         jnp.where(st == ShapeType.CONVEX,
+                   he_mesh + p[:, 1:2],   # local bbox in [2:8] + border radius
+                   big)))))))))
 
     center_off = jnp.where(
         (st == ShapeType.CAPSULE) | (st == ShapeType.SEGMENT), cap_center,
-        jnp.where((st == ShapeType.TRIMESH) | (st == ShapeType.HEIGHTFIELD),
+        jnp.where((st == ShapeType.TRIMESH) | (st == ShapeType.HEIGHTFIELD)
+                  | (st == ShapeType.CONVEX),
                   mesh_center, 0.0),
     )
 
@@ -117,13 +120,16 @@ def compute_aabbs(shape_type, shape_params, pos, rot):
     return mins, maxs
 
 
-def support_point(shape_type, shape_params, direction):
+def support_point(shape_type, shape_params, direction, hull_verts=None):
     """Support point of a convex shape in its LOCAL frame for a local-frame
     `direction` (not necessarily unit).  Vectorized over leading axes.
 
     Used by GJK/EPA and halfspace contact generation.  Round shapes return the
     support of their inner (non-rounded) shape; callers add border_radius along
     the direction themselves.
+
+    hull_verts: optional [..., V, 3] per-lane CONVEX vertex slots (padded by
+    repetition); when given, CONVEX lanes return the argmax-dot vertex.
     """
     p = shape_params
     d = direction
@@ -172,4 +178,14 @@ def support_point(shape_type, shape_params, direction):
                     sup_cone,
           jnp.where(st == ShapeType.TRIANGLE, sup_tri,
                     jnp.zeros_like(d))))))))
+
+    if hull_verts is not None:
+        dots = jnp.sum(hull_verts * d[..., None, :], axis=-1)  # [..., V]
+        best = jnp.argmax(dots, axis=-1)
+        v = hull_verts.shape[-2]
+        oh = (
+            best[..., None] == jnp.arange(v)
+        ).astype(hull_verts.dtype)                             # [..., V]
+        sup_hull = jnp.sum(hull_verts * oh[..., None], axis=-2)
+        out = jnp.where(st == ShapeType.CONVEX, sup_hull, out)
     return out

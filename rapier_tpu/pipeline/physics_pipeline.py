@@ -194,7 +194,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # ------------------------------------------------------------------
     man = compute_manifolds(
         bodies, colliders, c1, c2, pair_valid, params.prediction_distance(),
-        present=params.shape_types_present,
+        present=params.shape_types_present, hulls=state.hulls,
     )
     if has_meshes:
         man_mesh = compute_mesh_manifolds(
@@ -509,6 +509,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
         joints=joints,
         meshes=state.meshes,
         multibodies=multibodies,
+        hulls=state.hulls,
         step_count=state.step_count + 1,
     )
     events = StepEvents(

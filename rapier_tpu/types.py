@@ -541,6 +541,27 @@ def empty_meshes(v: int, t: int) -> MeshData:
     )
 
 
+MAX_HULL_VERTS = 32  # padded per-hull vertex slots (decimated at build)
+
+
+@struct.dataclass
+class ConvexHulls:
+    """Shared vertex table for CONVEX colliders: [H, MAX_HULL_VERTS, 3],
+    local frame, padded by repeating the first vertex (keeps the support
+    argmax exact).  A CONVEX collider stores its hull index in
+    shape_params[0], its border radius in [1], local AABB in [2:8]."""
+
+    vertices: jax.Array   # [H, MAX_HULL_VERTS, 3]
+
+    @property
+    def n(self) -> int:
+        return self.vertices.shape[-3]
+
+
+def empty_hulls(h: int) -> ConvexHulls:
+    return ConvexHulls(vertices=_f((h, MAX_HULL_VERTS, 3)))
+
+
 @struct.dataclass
 class SceneState:
     """Full simulation state for one scene: the snapshot/checkpoint unit.
@@ -555,6 +576,7 @@ class SceneState:
     joints: Optional[Any] = None       # Joints pytree
     meshes: Optional[MeshData] = None  # trimesh/heightfield tables
     multibodies: Optional[Any] = None  # dynamics.multibody.Multibodies
+    hulls: Optional[Any] = None        # ConvexHulls vertex table
     step_count: jax.Array = struct.field(default_factory=lambda: _np.int32(0))
 
 

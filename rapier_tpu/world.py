@@ -268,6 +268,129 @@ class ColliderBuilder:
         cb._mesh = (verts, np.asarray(tris, np.int32))
         return cb
 
+    @staticmethod
+    def convex_hull(points) -> "ColliderBuilder":
+        """Convex hull of a point cloud (reference collider.rs:1022).
+        The hull is computed host-side at build() (scipy.spatial.ConvexHull),
+        decimated to MAX_HULL_VERTS support vertices, and shared through the
+        scene hull table."""
+        cb = ColliderBuilder(ShapeType.CONVEX, ())
+        cb._hull_points = np.asarray(points, np.float64).reshape(-1, 3)
+        cb._hull_border = 0.0
+        return cb
+
+    @staticmethod
+    def round_convex_hull(points, border_radius) -> "ColliderBuilder":
+        cb = ColliderBuilder.convex_hull(points)
+        cb._hull_border = float(border_radius)
+        return cb
+
+    @staticmethod
+    def convex_mesh(vertices) -> "ColliderBuilder":
+        """Vertices already known to be convex (collider.rs convex_mesh);
+        hull computation still validates/orders them."""
+        return ColliderBuilder.convex_hull(vertices)
+
+    @staticmethod
+    def compound(children) -> "ColliderBuilder":
+        """Compound of child colliders (collider.rs:711): children is a list
+        of (translation, rotation, ColliderBuilder); expanded into separate
+        colliders on the same body at insert time."""
+        cb = ColliderBuilder(ShapeType.COMPOUND, ())
+        cb._children = [
+            (tuple(t), _as_quat(r), child) for (t, r, child) in children
+        ]
+        return cb
+
+    @staticmethod
+    def polyline(points) -> "ColliderBuilder":
+        """Polyline (collider.rs polyline): expanded into SEGMENT colliders
+        per consecutive point pair at insert time."""
+        pts = np.asarray(points, np.float64).reshape(-1, 3)
+        children = []
+        for i in range(len(pts) - 1):
+            seg = ColliderBuilder.segment(pts[i], pts[i + 1])
+            children.append(((0.0, 0.0, 0.0), _IDQ, seg))
+        cb = ColliderBuilder(ShapeType.COMPOUND, ())
+        cb._children = children
+        return cb
+
+    @staticmethod
+    def voxels(centers, voxel_size) -> "ColliderBuilder":
+        """Voxel grid (collider.rs:742): axis-aligned cubes of edge
+        `voxel_size` at the given centers, greedily merged into boxes along
+        x-runs and expanded into cuboid colliders at insert time."""
+        s = float(voxel_size)
+        half = s / 2.0
+        cs = np.asarray(centers, np.float64).reshape(-1, 3)
+        # Snap to grid ints for run detection.
+        keys = np.round(cs / s).astype(np.int64)
+        order = np.lexsort((keys[:, 0], keys[:, 2], keys[:, 1]))
+        keys = keys[order]
+        children = []
+        i = 0
+        while i < len(keys):
+            j = i
+            while (
+                j + 1 < len(keys)
+                and keys[j + 1][1] == keys[i][1]
+                and keys[j + 1][2] == keys[i][2]
+                and keys[j + 1][0] == keys[j][0] + 1
+            ):
+                j += 1
+            run = keys[i:j + 1].astype(np.float64) * s
+            center = run.mean(axis=0)
+            hx = half + (run[-1][0] - run[0][0]) / 2.0
+            box = ColliderBuilder.cuboid(hx, half, half)
+            children.append((tuple(center), _IDQ, box))
+            i = j + 1
+        cb = ColliderBuilder(ShapeType.COMPOUND, ())
+        cb._children = children
+        return cb
+
+    @staticmethod
+    def voxels_from_points(points, voxel_size) -> "ColliderBuilder":
+        """Voxelize a point cloud (collider.rs voxels_from_points)."""
+        s = float(voxel_size)
+        pts = np.asarray(points, np.float64).reshape(-1, 3)
+        keys = np.unique(np.round(pts / s).astype(np.int64), axis=0)
+        return ColliderBuilder.voxels(keys.astype(np.float64) * s, s)
+
+    @staticmethod
+    def convex_decomposition(vertices, indices, max_parts: int = 8
+                             ) -> "ColliderBuilder":
+        """Approximate convex decomposition (the reference's VHACD path,
+        collider.rs convex_decomposition): k-means clustering of triangle
+        centroids, one convex hull per cluster — coarser than VHACD but the
+        same collision contract (a compound of convex pieces)."""
+        v = np.asarray(vertices, np.float64).reshape(-1, 3)
+        t = np.asarray(indices, np.int64).reshape(-1, 3)
+        cent = v[t].mean(axis=1)
+        k = min(max_parts, len(t))
+        rng = np.random.RandomState(0)
+        centers = cent[rng.choice(len(cent), k, replace=False)]
+        for _ in range(12):
+            d2 = ((cent[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for ci in range(k):
+                sel = cent[assign == ci]
+                if len(sel):
+                    centers[ci] = sel.mean(axis=0)
+        children = []
+        for ci in range(k):
+            tri_sel = t[assign == ci]
+            if len(tri_sel) == 0:
+                continue
+            pts = v[np.unique(tri_sel)]
+            if len(pts) < 4:
+                continue
+            children.append(
+                ((0.0, 0.0, 0.0), _IDQ, ColliderBuilder.convex_hull(pts))
+            )
+        cb = ColliderBuilder(ShapeType.COMPOUND, ())
+        cb._children = children
+        return cb
+
     def _set(self, **kw):
         for k, v in kw.items():
             setattr(self, k, v)
@@ -290,6 +413,55 @@ class ColliderBuilder:
 
     def as_sensor(self):
         return self._set(sensor=True)
+
+
+def _np_quat_mul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+
+
+def _np_quat_rotate(q, v):
+    u, w = np.asarray(q[:3]), q[3]
+    t = 2.0 * np.cross(u, v)
+    return np.asarray(v) + w * t + np.cross(u, t)
+
+
+def _build_hull(points, max_verts):
+    """Convex hull of a point cloud, decimated to <= max_verts support
+    vertices.  Returns (verts [max_verts, 3] padded by repetition,
+    faces [F, 3] into the decimated verts, bbox_min, bbox_max)."""
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    hull = ConvexHull(pts)
+    verts = pts[hull.vertices]
+    if len(verts) > max_verts:
+        # Keep extreme points along Fibonacci-sphere directions (preserves
+        # the support function where it matters most).
+        k = np.arange(max_verts, dtype=np.float64)
+        phi = np.pi * (3.0 - np.sqrt(5.0))
+        y = 1.0 - 2.0 * (k + 0.5) / max_verts
+        r = np.sqrt(np.maximum(1.0 - y * y, 0.0))
+        dirs = np.stack([r * np.cos(phi * k), y, r * np.sin(phi * k)], axis=1)
+        idx = np.unique(np.argmax(dirs @ verts.T, axis=1))
+        verts = verts[idx]
+    hull2 = ConvexHull(verts)
+    verts = verts[np.unique(hull2.simplices)]
+    hull3 = ConvexHull(verts)
+    # Remap faces to the compacted vertex order.
+    faces = hull3.simplices
+    bb_min = verts.min(axis=0)
+    bb_max = verts.max(axis=0)
+    padded = np.zeros((max_verts, 3), np.float32)
+    padded[: len(verts)] = verts
+    padded[len(verts):] = verts[0]
+    return padded, faces.astype(np.int32), verts.astype(np.float32), bb_min, bb_max
 
 
 def _quat_from_x_axis(axis) -> np.ndarray:
@@ -424,6 +596,20 @@ class GenericJointBuilder:
         self.contacts_enabled = bool(enabled)
         return self
 
+    def with_swing_limits(self, lo: float, hi: float, twist_axis: int = 0):
+        """Spherical swing limit: bounds the arc angle between the two
+        frames' twist axes (reference SphericalJoint::limits -> the coupled
+        angular limit row, joint_constraint_builder.rs:814).  `twist_axis`
+        is the local angular axis left free (0=x default)."""
+        others = {0: (1, 2), 1: (0, 2), 2: (0, 1)}[twist_axis]
+        for a in others:
+            ax = 3 + a
+            self.coupled_axes |= 1 << ax
+            self.limit_axes |= 1 << ax
+            self._set_axis("limit_min", ax, float(lo))
+            self._set_axis("limit_max", ax, float(hi))
+        return self
+
     # -- multibody-only per-dof extras (reference Multibody::armature/damping
     #    multibody.rs:397-404 and MultibodyJoint::set_spring :57) --
     def with_armature(self, axis: int, value: float):
@@ -514,10 +700,35 @@ class PhysicsWorld:
         self._pending_bodies.append(builder)
         return len(self._pending_bodies) - 1
 
+    def _expand_collider(self, builder: ColliderBuilder):
+        """Flatten COMPOUND builders (compound/polyline/voxels/decomposition)
+        into leaf colliders with composed local transforms."""
+        if getattr(builder, "_children", None) is None:
+            return [builder]
+        import copy as _copy
+
+        out = []
+        pt = np.asarray(builder.translation, np.float64)
+        pr = np.asarray(builder.rotation, np.float64)
+        for (ct, cr, child) in builder._children:
+            for leaf in self._expand_collider(child):
+                leaf = _copy.copy(leaf)
+                # parent ∘ child local transforms.
+                t = pt + _np_quat_rotate(pr, np.asarray(ct, np.float64))
+                r = _np_quat_mul(pr, np.asarray(cr, np.float64))
+                lt = np.asarray(leaf.translation, np.float64)
+                lr = np.asarray(leaf.rotation, np.float64)
+                leaf.translation = tuple(t + _np_quat_rotate(r, lt))
+                leaf.rotation = tuple(_np_quat_mul(r, lr))
+                out.append(leaf)
+        return out
+
     def insert_collider(self, builder: ColliderBuilder, body: int = -1) -> int:
         assert self.state is None, "world already built"
-        self._pending_colliders.append((builder, body))
-        return len(self._pending_colliders) - 1
+        first = len(self._pending_colliders)
+        for leaf in self._expand_collider(builder):
+            self._pending_colliders.append((leaf, body))
+        return first
 
     def insert(self, body_builder: RigidBodyBuilder, *collider_builders) -> int:
         h = self.insert_body(body_builder)
@@ -591,6 +802,21 @@ class PhysicsWorld:
             tri_cursor += len(t)
             vert_cursor += len(v)
 
+        # Convex hulls: compute + decimate host-side, build the shared table.
+        hull_slots: list[np.ndarray] = []
+        hull_info: dict[int, tuple] = {}
+        from rapier_tpu.types import MAX_HULL_VERTS
+
+        for i, (cb, _parent) in enumerate(self._pending_colliders):
+            hp = getattr(cb, "_hull_points", None)
+            if hp is None:
+                continue
+            padded, faces, verts, bb_min, bb_max = _build_hull(
+                hp, MAX_HULL_VERTS
+            )
+            hull_info[i] = (len(hull_slots), faces, verts, bb_min, bb_max)
+            hull_slots.append(padded)
+
         for i, (cb, parent) in enumerate(self._pending_colliders):
             prm = np.zeros(12, np.float32)
             prm[: len(cb.shape_params)] = cb.shape_params
@@ -599,6 +825,12 @@ class PhysicsWorld:
                 prm[0], prm[1] = start, count
                 prm[2:5] = lo
                 prm[5:8] = hi
+            if i in hull_info:
+                hidx, _faces, _verts, bb_min, bb_max = hull_info[i]
+                prm[0] = hidx
+                prm[1] = getattr(cb, "_hull_border", 0.0)
+                prm[2:5] = bb_min
+                prm[5:8] = bb_max
             colliders["parent"][i] = parent
             colliders["local_pos"][i] = cb.translation
             colliders["local_rot"][i] = _as_quat(cb.rotation)
@@ -619,7 +851,18 @@ class PhysicsWorld:
             colliders["user_data"][i] = cb.user_data
 
             if parent >= 0 and not cb.sensor:
-                smp = mp.shape_mass_properties(int(cb.shape_type), prm, cb.density)
+                if i in hull_info:
+                    _h, faces, verts, _lo, _hi = hull_info[i]
+                    smp = mp.mesh_mass_properties(
+                        verts, faces, cb.density, assume_convex=True
+                    )
+                elif i in mesh_ranges and getattr(cb, "_mesh", None) is not None:
+                    mv, mt = cb._mesh
+                    smp = mp.mesh_mass_properties(mv, mt, cb.density)
+                else:
+                    smp = mp.shape_mass_properties(
+                        int(cb.shape_type), prm, cb.density
+                    )
                 if cb.mass is not None and smp.mass > 0:
                     scale = cb.mass / smp.mass
                     smp = mp.MassProperties(
@@ -739,6 +982,14 @@ class PhysicsWorld:
         # All leaves stay numpy until the first jitted step uploads them —
         # never convert device arrays back to numpy here (D2H poisons the
         # TPU tunnel's fast dispatch path for the whole process).
+        hulls_state = None
+        if hull_slots:
+            from rapier_tpu.types import ConvexHulls
+
+            hulls_state = ConvexHulls(
+                vertices=np.stack(hull_slots).astype(np.float32)
+            )
+
         self.state = SceneState(
             bodies=Bodies(**bodies),
             colliders=Colliders(**colliders),
@@ -746,6 +997,7 @@ class PhysicsWorld:
             joints=joints_state,
             meshes=meshes_state,
             multibodies=mb_state,
+            hulls=hulls_state,
         )
         if any(bb.ccd_enabled for bb in self._pending_bodies):
             self.params = self.params.replace(enable_ccd=True)

@@ -10,6 +10,7 @@ from rapier_tpu.world import (
     GenericJointBuilder,
     PhysicsWorld,
     RigidBodyBuilder,
+    SphericalJointBuilder,
 )
 
 
@@ -187,3 +188,27 @@ def test_joint_disables_contacts_between_attached():
     w.step(60)
     assert np.linalg.norm(w.body_linvel(a)) < 1e-4
     assert np.linalg.norm(w.body_linvel(b)) < 1e-4
+
+
+def test_spherical_swing_limit():
+    """Coupled angular limit (joint_constraint_builder.rs:814): a spherical
+    pendulum with a 0.4-rad swing limit must not exceed it (much)."""
+    w = PhysicsWorld()
+    anchor = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, 2, 0)))
+    bob = w.insert_body(RigidBodyBuilder.dynamic().with_translation((0, 1, 0))
+                        .with_linvel((2.5, 0, 0)))
+    w.insert_collider(ColliderBuilder.ball(0.1).with_density(50.0), bob)
+    jb = SphericalJointBuilder().with_local_anchor1((0, 0, 0)) \
+        .with_local_anchor2((0, 1, 0)).with_swing_limits(0.0, 0.4)
+    w.insert_impulse_joint(anchor, bob, jb)
+    w.build()
+    max_angle = 0.0
+    for _ in range(30):
+        w.step(4)
+        p = np.asarray(w.body_translation(bob))
+        d = np.asarray([0, 2, 0]) - p
+        ang = float(np.arccos(np.clip(d[1] / np.linalg.norm(d), -1, 1)))
+        max_angle = max(max_angle, ang)
+    # Without the limit the kick reaches ~1.2 rad; the soft limit caps it.
+    assert max_angle < 0.65, f"swing limit failed: {max_angle}"
+    assert max_angle > 0.2, f"pendulum never swung: {max_angle}"
