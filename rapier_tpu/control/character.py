@@ -6,7 +6,8 @@ shape-cast loop with a contact offset, sliding along obstacle tangents,
 max-slope handling, and grounded detection — recast as a fixed-iteration
 branch-free loop over batched shape casts.
 
-Autostep and snap-to-ground: TODO (options accepted, minimal versions wired).
+Autostep (lift -> advance -> settle, committed only when every leg of the
+maneuver is clear) and snap-to-ground follow character_controller.rs:68.
 """
 
 from __future__ import annotations
@@ -31,6 +32,11 @@ class CharacterControllerOptions:
     slide: bool = True
     max_iterations: int = 6
     snap_to_ground: float = 0.2          # max snap distance (0 disables)
+    # Autostep (CharacterAutostep, character_controller.rs:68): step onto
+    # obstacles no taller than max_height if there is min_width of clear
+    # landing.  0 disables.
+    autostep_max_height: float = 0.0
+    autostep_min_width: float = 0.1
 
 
 class CharacterMovement(NamedTuple):
@@ -81,6 +87,61 @@ def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
         )
         remaining = jnp.where(blocked, new_remaining, jnp.zeros(3))
         any_hit = any_hit | blocked
+
+        # Autostep (character_controller.rs:68 handle_stairs analog): when a
+        # steep obstacle blocks horizontal motion, try lift -> advance ->
+        # settle; commit the whole maneuver only if every leg is clear.
+        if options.autostep_max_height > 0.0:
+            horiz = left - up * jnp.dot(left, up)
+            h_dist = jnp.linalg.norm(horiz)
+            h_unit = horiz / jnp.maximum(h_dist, 1e-9)
+            want_step = blocked & is_wall_or_steep & (h_dist > 1e-6)
+
+            up_hit = queries.cast_shape(
+                bodies, colliders, shape_type, shape_params, pos + total, rot,
+                up, options.autostep_max_height,
+                flags=flags, exclude_collider=exclude_collider,
+                exclude_body=exclude_body,
+            )
+            lift = jnp.where(
+                up_hit.hit,
+                jnp.maximum(up_hit.toi - options.offset, 0.0),
+                options.autostep_max_height,
+            )
+            lifted = pos + total + up * lift
+            fwd_hit = queries.cast_shape(
+                bodies, colliders, shape_type, shape_params, lifted, rot,
+                h_unit, options.autostep_min_width + options.offset,
+                flags=flags, exclude_collider=exclude_collider,
+                exclude_body=exclude_body,
+            )
+            fwd_clear = ~fwd_hit.hit | (
+                fwd_hit.toi >= options.autostep_min_width
+            )
+            advanced = lifted + h_unit * options.autostep_min_width
+            down_hit = queries.cast_shape(
+                bodies, colliders, shape_type, shape_params, advanced, rot,
+                -up, lift + options.offset,
+                flags=flags, exclude_collider=exclude_collider,
+                exclude_body=exclude_body,
+            )
+            land_angle = jnp.arccos(
+                jnp.clip(jnp.dot(down_hit.normal, up), -1.0, 1.0)
+            )
+            land_ok = down_hit.hit & (
+                land_angle <= options.max_slope_climb_angle
+            )
+            do_step = want_step & (lift > options.offset) & fwd_clear & land_ok
+            settle = jnp.maximum(down_hit.toi - options.offset, 0.0)
+            step_delta = (
+                up * (lift - settle) + h_unit * options.autostep_min_width
+            )
+            total = total + jnp.where(do_step, step_delta, jnp.zeros(3))
+            # The stepped width consumes that much of the remaining motion.
+            rem_after = left - h_unit * jnp.minimum(
+                options.autostep_min_width, h_dist
+            )
+            remaining = jnp.where(do_step, rem_after, remaining)
 
     # Grounded test + snap-to-ground: short downward cast.
     down_hit = queries.cast_shape(

@@ -161,9 +161,10 @@ def substep_inputs(bodies, sb, active, params: SimParams):
     )
 
 
-def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
+def solve(bodies, sb: cc.SolverBodies, constraints,
           num_colors, active, params: SimParams,
-          joints=None, joint_color=None, num_joint_colors=None):
+          joints=None, joint_color=None, num_joint_colors=None,
+          cc_mod=cc):
     """Run the full TGS-soft substep loop (pure-JAX path; contacts-only
     scenes on TPU take pallas_sweep.solve_from_manifolds instead, dispatched
     by the pipeline).
@@ -181,12 +182,13 @@ def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
     move_mask = si["move_mask"]
 
     # One-hot gather/scatter matrices: loop-invariant, built once.
+    # `cc_mod` selects the friction model implementation (twist vs Coulomb).
     oh1, oh2 = cc.pair_onehots(constraints, sb.v_lin.shape[1])
 
     def contact_sweep(constraints, sb, use_bias):
         def body_fn(ci, carry):
             cons, s = carry
-            return cc.solve_color(cons, s, ci, oh1, oh2, use_bias=use_bias)
+            return cc_mod.solve_color(cons, s, ci, oh1, oh2, use_bias=use_bias)
         return jax.lax.fori_loop(0, num_colors, body_fn, (constraints, sb))
 
     def joint_sweep(rows, sb, use_bias):
@@ -206,7 +208,7 @@ def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
                 joints, sb, joint_color, dt_sub, inv_dt_sub, bodies.n
             )
 
-        constraints = cc.update(
+        constraints = cc_mod.update(
             constraints, sb, oh1, oh2,
             cfm_factor=cfm_factor, inv_dt=inv_dt_sub,
             allowed_lin_err=params.allowed_linear_error(),
@@ -214,7 +216,7 @@ def solve(bodies, sb: cc.SolverBodies, constraints: cc.ContactConstraints,
             max_corrective_velocity=params.max_corrective_velocity(),
             warmstart_coeff=params.warmstart_coefficient,
         )
-        sb = cc.warmstart(constraints, sb, oh1, oh2)
+        sb = cc_mod.warmstart(constraints, sb, oh1, oh2)
 
         for _pgs in range(params.num_internal_pgs_iterations):
             if joints is not None:

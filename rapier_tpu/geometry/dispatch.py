@@ -120,8 +120,26 @@ def _order_rank(t):
     return jnp.where(t == ShapeType.HALFSPACE, 1000, t)
 
 
+def _soft_ccd_cols(bodies, colliders, safe_p, parent, dt):
+    """Staged columns 34:38 for soft-CCD inflation: parent linvel clamped to
+    soft_ccd_prediction/dt (narrow_phase.rs:953-958) + an active flag."""
+    f32 = jnp.float32
+    c = parent.shape[0]
+    if dt is None:
+        return jnp.zeros((c, 4), f32)
+    soft = jnp.where(parent >= 0, bodies.soft_ccd_prediction[safe_p], 0.0)
+    v = jnp.where((parent >= 0)[:, None], bodies.linvel[safe_p], 0.0)
+    inv_dt = jnp.where(jnp.asarray(dt) == 0, 0.0, 1.0 / jnp.asarray(dt))
+    vmag = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    cap = (soft * inv_dt)[:, None]
+    scale = jnp.where(
+        (soft[:, None] > 0) & (vmag > cap), cap / jnp.maximum(vmag, 1e-12), 1.0
+    )
+    return jnp.concatenate([v * scale, soft[:, None]], axis=1)
+
+
 def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
-                      present: tuple = (), hulls=None):
+                      present: tuple = (), hulls=None, dt=None):
     """Compute contact manifolds for the pair buffer.
 
     Args:
@@ -129,6 +147,10 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
       c1, c2: [P] collider indices (c1 < c2 from the broad phase; -1 invalid).
       pair_valid: [P] bool.
       prediction: scalar prediction distance.
+      dt: step dt — enables soft-CCD prediction inflation
+        (narrow_phase.rs:944-970): pairs where either body sets
+        soft_ccd_prediction get prediction = max(prediction, dt*|v1-v2|)
+        with velocities clamped to soft_ccd_prediction/dt.
       present: static shape-type census (from SimParams.shape_types_present):
         a tuple of (ShapeType int, count) pairs, or legacy plain ints
         (count unknown).  Empty = unknown, run every kernel.  Kernels whose
@@ -194,6 +216,7 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
         # inf would poison the one-hot matmul (0*inf = NaN): clamp.
         jnp.minimum(colliders.contact_force_event_threshold, 3.0e38)[:, None],  # 32
         bt_c[:, None].astype(f32),                          # 33
+        _soft_ccd_cols(bodies, colliders, safe_p, parent, dt),  # 34:38
     ], axis=1)
 
     # Lane-LAST staged table: [34, P] so every per-pair column below is a
@@ -321,13 +344,24 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
     # Restore original pair orientation: normal points collider1 -> collider2.
     normal = jnp.where(flip[None, :], -normal, normal)
 
+
     # Effective distance: subtract contact skins (reference
     # narrow_phase.rs:1033 effective_contact_dist).  All material/body fields
     # read from the staged tables (no gathers).
     skins = T1[24] + T2[24]
     dist = dist - skins[None, :]
 
-    point_active = pvalid & (dist < prediction)
+    # Soft-CCD prediction inflation (narrow_phase.rs:944-970).
+    soft_flag = (T1[37] > 0.0) | (T2[37] > 0.0)
+    rel_v = jnp.sqrt(jnp.maximum(
+        (T1[34] - T2[34]) ** 2 + (T1[35] - T2[35]) ** 2
+        + (T1[36] - T2[36]) ** 2, 0.0,
+    ))
+    dt_f = jnp.float32(0.0) if dt is None else jnp.asarray(dt, jnp.float32)
+    eff_prediction = jnp.where(
+        soft_flag, jnp.maximum(prediction, dt_f * rel_v), prediction
+    )                                                   # [P]
+    point_active = pvalid & (dist < eff_prediction[None, :])
     # "Touching" mirrors the reference's has_any_active_contact: the pair has
     # solver contacts (within prediction).  Using dist <= 0 here flickers at
     # the soft-constraint slop boundary and spuriously wakes sleeping stacks.
@@ -515,7 +549,17 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
     skins = colliders.contact_skin[lane_cA] + colliders.contact_skin[lane_cM]
     dist = dist - skins[:, None]
     pvalid = pvalid & lane_ok[:, None]
-    point_active = pvalid & (dist < prediction)
+    # Soft-CCD prediction inflation (narrow_phase.rs:944-970).
+    soft_flag = (T1[37] > 0.0) | (T2[37] > 0.0)
+    rel_v = jnp.sqrt(jnp.maximum(
+        (T1[34] - T2[34]) ** 2 + (T1[35] - T2[35]) ** 2
+        + (T1[36] - T2[36]) ** 2, 0.0,
+    ))
+    dt_f = jnp.float32(0.0) if dt is None else jnp.asarray(dt, jnp.float32)
+    eff_prediction = jnp.where(
+        soft_flag, jnp.maximum(prediction, dt_f * rel_v), prediction
+    )                                                   # [P]
+    point_active = pvalid & (dist < eff_prediction[None, :])
     touching = lane_ok & jnp.any(point_active, axis=-1)
 
     lo_c = jnp.where(lane_flip, lane_cM, lane_cA)

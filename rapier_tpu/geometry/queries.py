@@ -395,6 +395,10 @@ def cast_shape(bodies, colliders, shape_type, shape_params, pos, rot,
                iters: int = 12) -> ShapeCastHit:
     """Sweep a convex shape along `direction` (QueryPipeline::cast_shape):
     per-collider bisection on the support-based separation."""
+    # State leaves may be host numpy (fresh build): tracer indexing needs
+    # device arrays.
+    bodies = jax.tree.map(jnp.asarray, bodies)
+    colliders = jax.tree.map(jnp.asarray, colliders)
     w_pos, w_rot = collider_world_poses(bodies, colliders)
     ok = _filter_mask(colliders, bodies.body_type, flags,
                       exclude_collider, exclude_body, groups)
@@ -434,6 +438,102 @@ def cast_shape(bodies, colliders, shape_type, shape_params, pos, rot,
         _, n = dist_at(toi)
         hit = valid & (any_neg | start_touching)
         return jnp.where(hit, toi, _INF), -n  # normal towards the shape
+
+    tois, normals = jax.vmap(per_collider)(jnp.arange(c), ok)
+    k = jnp.argmin(tois)
+    t = tois[k]
+    hit = t < _INF
+    return ShapeCastHit(
+        hit=hit,
+        toi=jnp.where(hit, t, jnp.asarray(max_toi, jnp.float32)),
+        collider=jnp.where(hit, k, -1).astype(jnp.int32),
+        normal=jnp.where(hit, normals[k], jnp.zeros(3)),
+    )
+
+
+def intersect_shape(bodies, colliders, shape_type, shape_params, pos, rot,
+                    flags: int = 0, exclude_collider: int = -1,
+                    exclude_body: int = -1, groups: int = 0xFFFF_FFFF):
+    """Colliders intersecting a convex shape placed at (pos, rot)
+    (QueryPipeline::intersect_shape, query_pipeline.rs:537).
+
+    Returns a [C] bool mask (the TPU recast of the callback iteration)."""
+    # State leaves may be host numpy (fresh build): tracer indexing needs
+    # device arrays.
+    bodies = jax.tree.map(jnp.asarray, bodies)
+    colliders = jax.tree.map(jnp.asarray, colliders)
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    ok = _filter_mask(colliders, bodies.body_type, flags,
+                      exclude_collider, exclude_body, groups)
+    c = colliders.parent.shape[0]
+    st = jnp.asarray(shape_type, jnp.int32)
+
+    def per_collider(cidx, valid):
+        gap, _ = _support_gap_to(
+            st, shape_params, pos, rot, colliders, w_pos, w_rot, cidx
+        )
+        return valid & (gap <= 0.0)
+
+    return jax.vmap(per_collider)(jnp.arange(c), ok)
+
+
+def cast_shape_nonlinear(bodies, colliders, shape_type, shape_params, pos,
+                         rot, linvel, angvel, max_toi, flags: int = 0,
+                         exclude_collider: int = -1, exclude_body: int = -1,
+                         groups: int = 0xFFFF_FFFF,
+                         iters: int = 12) -> ShapeCastHit:
+    """Sweep a convex shape along a rigid MOTION (translation + rotation):
+    QueryPipeline::cast_shape_nonlinear (query_pipeline.rs:510) /
+    parry NonlinearRigidMotion.  Same coarse-scan + bisection scheme as
+    cast_shape, with the pose interpolated as
+    pos(t) = pos + linvel*t, rot(t) = exp(angvel*t) * rot."""
+    # State leaves may be host numpy (fresh build): tracer indexing needs
+    # device arrays.
+    bodies = jax.tree.map(jnp.asarray, bodies)
+    colliders = jax.tree.map(jnp.asarray, colliders)
+    from rapier_tpu.math import quat as _q
+
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    ok = _filter_mask(colliders, bodies.body_type, flags,
+                      exclude_collider, exclude_body, groups)
+    c = colliders.parent.shape[0]
+    st = jnp.asarray(shape_type, jnp.int32)
+    linvel = jnp.asarray(linvel, jnp.float32)
+    angvel = jnp.asarray(angvel, jnp.float32)
+
+    def pose_at(t):
+        p = pos + linvel * t
+        r = _q.normalize(_q.mul(_q.from_scaled_axis(angvel * t), rot))
+        return p, r
+
+    def per_collider(cidx, valid):
+        def dist_at(t):
+            p, r = pose_at(t)
+            return _support_gap_to(
+                st, shape_params, p, r, colliders, w_pos, w_rot, cidx
+            )
+
+        n_coarse = 8
+        m = jnp.asarray(max_toi, jnp.float32)
+        ts = jnp.arange(1, n_coarse + 1) / n_coarse * m
+        ds = jnp.stack([dist_at(t)[0] for t in list(ts)])
+        d0, _ = dist_at(0.0)
+        neg = ds <= 0.0
+        any_neg = jnp.any(neg)
+        first = jnp.argmax(neg)
+        seg = m / n_coarse
+        lo = jnp.maximum(first.astype(jnp.float32) * seg, 0.0)
+        hi = (first + 1).astype(jnp.float32) * seg
+        start_touching = d0 <= 0.0
+        for _ in range(iters):
+            mid = 0.5 * (lo + hi)
+            dm, _ = dist_at(mid)
+            lo = jnp.where(dm > 0.0, mid, lo)
+            hi = jnp.where(dm > 0.0, hi, mid)
+        toi = jnp.where(start_touching, 0.0, lo)
+        _, n = dist_at(toi)
+        hit = valid & (any_neg | start_touching)
+        return jnp.where(hit, toi, _INF), -n
 
     tois, normals = jax.vmap(per_collider)(jnp.arange(c), ok)
     k = jnp.argmin(tois)

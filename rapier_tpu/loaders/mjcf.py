@@ -8,7 +8,7 @@ Host-side port of the reference mjcf-rs + rapier3d-mjcf semantics
 joints (free/ball/hinge/slide with pos/axis/range), inertials, and actuators
 (motor/position/velocity -> joint motors driven via `apply_controls`).
 
-Not yet covered (reference parity TODO): <include>, tendons, equality
+Not yet covered (reference parity TODO): tendons, equality
 constraints, sensors, keyframes/mocap, composite multi-joint bodies (the
 first joint wins; extra hinges degrade to a ball joint).
 """
@@ -91,6 +91,100 @@ class MjcfRobotHandles:
     joints: dict = field(default_factory=dict)       # joint name -> handle
     joint_axis: dict = field(default_factory=dict)   # joint name -> axis slot
     actuators: list = field(default_factory=list)    # [MjcfActuator]
+    joint_order: list = field(default_factory=list)  # qpos order (1-dof joints)
+    keyframes: dict = field(default_factory=dict)    # key name -> qpos array
+    sensors: list = field(default_factory=list)      # [(name, kind, joint)]
+
+    def joint_value(self, world: PhysicsWorld, jname: str) -> float:
+        """Current 1-dof joint coordinate (revolute angle / prismatic
+        displacement) read from the attached bodies' poses."""
+        j = self.joints[jname]
+        joints = world.state.joints
+        b1 = int(np.asarray(joints.body1[j]))
+        b2 = int(np.asarray(joints.body2[j]))
+        ax = self.joint_axis[jname]
+        q1 = np.asarray(world.body_rotation(b1))
+        q2 = np.asarray(world.body_rotation(b2))
+        f1 = _quat_mul(q1, np.asarray(joints.local_rot1[j]))
+        f2 = _quat_mul(q2, np.asarray(joints.local_rot2[j]))
+        if ax >= 3:
+            # Relative rotation about the joint axis (frame X by convention).
+            qc = np.array([-f1[0], -f1[1], -f1[2], f1[3]])
+            qerr = _quat_mul(qc, f2)
+            if np.dot(f1, f2) < 0:
+                qerr = -qerr
+            return float(2.0 * math.asin(np.clip(qerr[0], -1.0, 1.0)))
+        p1 = np.asarray(world.body_translation(b1)) + _quat_rotate(
+            q1, np.asarray(joints.local_pos1[j])
+        )
+        p2 = np.asarray(world.body_translation(b2)) + _quat_rotate(
+            q2, np.asarray(joints.local_pos2[j])
+        )
+        axis_w = _quat_rotate(f1, np.array([1.0, 0.0, 0.0]))
+        return float(np.dot(p2 - p1, axis_w))
+
+    def joint_velocity(self, world: PhysicsWorld, jname: str) -> float:
+        j = self.joints[jname]
+        joints = world.state.joints
+        b1 = int(np.asarray(joints.body1[j]))
+        b2 = int(np.asarray(joints.body2[j]))
+        ax = self.joint_axis[jname]
+        q1 = np.asarray(world.body_rotation(b1))
+        f1 = _quat_mul(q1, np.asarray(joints.local_rot1[j]))
+        axis_w = _quat_rotate(f1, np.array([1.0, 0.0, 0.0]))
+        if ax >= 3:
+            rel = np.asarray(world.body_angvel(b2)) - np.asarray(
+                world.body_angvel(b1)
+            )
+        else:
+            rel = np.asarray(world.body_linvel(b2)) - np.asarray(
+                world.body_linvel(b1)
+            )
+        return float(np.dot(rel, axis_w))
+
+    def read_sensors(self, world: PhysicsWorld) -> dict:
+        """Evaluate <sensor> readers (reference runtime.rs:677-760
+        read_sensor): jointpos / jointvel / framepos supported."""
+        out = {}
+        for (name, kind, target) in self.sensors:
+            if kind == "jointpos":
+                out[name] = self.joint_value(world, target)
+            elif kind == "jointvel":
+                out[name] = self.joint_velocity(world, target)
+            elif kind == "framepos":
+                h = self.bodies.get(target)
+                if h is not None:
+                    out[name] = np.asarray(world.body_translation(h))
+        return out
+
+    def apply_keyframe(self, world: PhysicsWorld, name: str):
+        """Drive position-actuated joints to a keyframe's qpos (reference
+        runtime.rs keyframe utilities).  Divergence note: impulse-joint
+        robots are driven through their motors rather than teleported —
+        exact qpos teleport lands with multibody state."""
+        import jax.numpy as jnp
+
+        q = self.keyframes[name]
+        joints = world.state.joints
+        tp = jnp.asarray(joints.motor_target_pos)
+        ms = jnp.asarray(joints.motor_stiffness)
+        md = jnp.asarray(joints.motor_damping)
+        maxes = jnp.asarray(joints.motor_axes)
+
+        for val, jname in zip(q, self.joint_order):
+            j = self.joints.get(jname)
+            if j is None:
+                continue
+            ax = self.joint_axis[jname]
+            tp = tp.at[j, ax].set(float(val))
+            # Ensure a position motor exists to track the keyframe.
+            ms = ms.at[j, ax].set(jnp.maximum(ms[j, ax], 50.0))
+            md = md.at[j, ax].set(jnp.maximum(md[j, ax], 5.0))
+            maxes = maxes.at[j].set(maxes[j] | (1 << ax))
+        world.state = world.state.replace(joints=joints.replace(
+            motor_target_pos=tp, motor_stiffness=ms, motor_damping=md,
+            motor_axes=maxes,
+        ))
 
     def apply_controls(self, world: PhysicsWorld, ctrl):
         """Drive actuators (reference runtime.rs:450-507 apply_controls):
@@ -99,8 +193,9 @@ class MjcfRobotHandles:
         import jax.numpy as jnp
 
         joints = world.state.joints
-        tp = joints.motor_target_pos
-        tv = joints.motor_target_vel
+        # Fresh builds carry numpy leaves; .at[] needs device arrays.
+        tp = jnp.asarray(joints.motor_target_pos)
+        tv = jnp.asarray(joints.motor_target_vel)
         for a, u in zip(self.actuators, np.asarray(ctrl)):
             j = self.joints.get(a.joint)
             if j is None:
@@ -113,6 +208,30 @@ class MjcfRobotHandles:
         world.state = world.state.replace(
             joints=joints.replace(motor_target_pos=tp, motor_target_vel=tv)
         )
+
+
+def _expand_includes(root, base_dir):
+    """Recursively splice <include file="..."/> elements (mjcf-rs include
+    handling, crates/mjcf-rs/src/loader): the included file's <mujoco>
+    children replace the include element in place."""
+    for parent in list(root.iter()):
+        children = list(parent)
+        for idx, child in enumerate(children):
+            if child.tag != "include":
+                continue
+            fn = child.get("file", "")
+            path = os.path.join(base_dir, fn)
+            if not os.path.exists(path):
+                parent.remove(child)
+                continue
+            inc = ET.parse(path).getroot()
+            _expand_includes(inc, os.path.dirname(path))
+            parent.remove(child)
+            pos = idx
+            payload = list(inc) if inc.tag == "mujoco" else [inc]
+            for sub in payload:
+                parent.insert(pos, sub)
+                pos += 1
 
 
 def _orientation(attrs, angle_scale):
@@ -247,6 +366,7 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
         root = ET.fromstring(path_or_string)
         base_dir = "."
     assert root.tag == "mujoco", f"not an MJCF file (root <{root.tag}>)"
+    _expand_includes(root, base_dir)
 
     compiler = root.find("compiler")
     angle_unit = (compiler.get("angle", "degree") if compiler is not None
@@ -366,6 +486,7 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                         parent_handle, h, gb
                     )
                     handles.joint_axis[name] = ax_slot
+                    handles.joint_order.append(name)
             walk(b, h, wpos, wrot, bcls, False)
 
     worldbody = root.find("worldbody")
@@ -403,5 +524,28 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                         gbj.with_motor_velocity(ax, 0.0, kv if kv > 0 else 10.0)
                     else:
                         gbj.with_motor_velocity(ax, 0.0, 0.0)
+
+    # Keyframes (reference keyframe/mocap utilities, runtime.rs:677-760).
+    kf = root.find("keyframe")
+    if kf is not None:
+        for k in kf.findall("key"):
+            qpos = k.get("qpos")
+            if qpos:
+                handles.keyframes[k.get("name", f"key{len(handles.keyframes)}")] = (
+                    np.asarray([float(x) for x in qpos.split()])
+                )
+
+    # Sensors: jointpos / jointvel / framepos readers.
+    sens = root.find("sensor")
+    if sens is not None:
+        for s in sens:
+            if s.tag in ("jointpos", "jointvel"):
+                handles.sensors.append(
+                    (s.get("name", s.tag), s.tag, s.get("joint", ""))
+                )
+            elif s.tag == "framepos":
+                handles.sensors.append(
+                    (s.get("name", s.tag), s.tag, s.get("objname", ""))
+                )
 
     return handles

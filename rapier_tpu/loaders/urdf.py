@@ -135,18 +135,39 @@ def _load_mesh_file(path: str):
                         faces.append([idx[0], idx[k], idx[k + 1]])
         return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
     if path.lower().endswith(".stl"):
+        import struct as _struct
+
         with open(path, "rb") as f:
-            head = f.read(5)
-        if head != b"solid":
-            return None  # binary STL: TODO
-        with open(path) as f:
-            for line in f:
+            raw = f.read()
+        # Binary STL (the common robot-asset format): 80-byte header +
+        # uint32 count + 50-byte records.  "solid" prefix alone is not a
+        # reliable ASCII marker — verify the record arithmetic too
+        # (rapier3d-meshloader defers to the mesh-loader crate's sniffing).
+        is_binary = False
+        if len(raw) >= 84:
+            (n_tri,) = _struct.unpack_from("<I", raw, 80)
+            if 84 + 50 * n_tri == len(raw):
+                is_binary = True
+        if is_binary:
+            rec = np.frombuffer(
+                raw[84:84 + 50 * n_tri], dtype=np.uint8
+            ).reshape(n_tri, 50)
+            tri_f = rec[:, 12:48].copy().view("<f4").reshape(n_tri, 3, 3)
+            v = tri_f.reshape(-1, 3).astype(np.float32)
+        else:
+            for line in raw.decode("ascii", errors="replace").splitlines():
                 parts = line.split()
                 if parts and parts[0] == "vertex":
                     verts.append([float(x) for x in parts[1:4]])
-        v = np.asarray(verts, np.float32)
-        t = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
-        return v, t
+            v = np.asarray(verts, np.float32)
+        # Merge duplicate vertices (trimesh_with_flags MERGE_DUPLICATE_VERTICES
+        # semantics) so the index buffer is shared.
+        if len(v):
+            vq = np.round(v.astype(np.float64) * 1e6) / 1e6
+            uniq, inv = np.unique(vq, axis=0, return_inverse=True)
+            t = inv.reshape(-1, 3).astype(np.int32)
+            return uniq.astype(np.float32), t
+        return v, np.zeros((0, 3), np.int32)
     return None
 
 

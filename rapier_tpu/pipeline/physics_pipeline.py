@@ -108,10 +108,16 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
 
     ws_normal = take(prev.warmstart_impulse)
     prev_impulse = take(prev.impulse)
-    # Manifold-level tangent warmstart (twist friction model stores one
-    # tangent pair per manifold).
-    mf = matched.astype(jnp.float32)[None]
-    ws_tan = join_pair(prev.warmstart_tangent_impulse) * mf  # [2, Pn]
+    if prev.warmstart_tangent_impulse.ndim == 3:
+        # Per-point tangent warmstart (FrictionModel.COULOMB cache layout
+        # [4, 2, P]): route by the same point-level feature match.
+        joined_tp = join_pair(prev.warmstart_tangent_impulse)   # [4o, 2, Pn]
+        ws_tan = jnp.einsum("kop,ojp->kjp", ff, joined_tp)      # [4n, 2, Pn]
+    else:
+        # Manifold-level tangent warmstart (twist friction model stores one
+        # tangent pair per manifold).
+        mf = matched.astype(jnp.float32)[None]
+        ws_tan = join_pair(prev.warmstart_tangent_impulse) * mf  # [2, Pn]
     ws_twist = jnp.where(matched, join_pair(prev.warmstart_twist_impulse), 0.0)
     prev_touching = matched & (join_pair(prev.touching) > 0)
     # Old pairs still touching this step (for stopped events).
@@ -172,10 +178,17 @@ def step(state: SceneState, params: SimParams, hooks=None):
     mins, maxs = shapes.compute_aabbs(
         colliders.shape_type, colliders.shape_params, w_pos, w_rot
     )
+    safe_par = jnp.maximum(colliders.parent, 0)
+    soft_pred = jnp.where(
+        colliders.parent >= 0, bodies.soft_ccd_prediction[safe_par], 0.0
+    )
+    vmag = jnp.linalg.norm(bodies.linvel[safe_par], axis=-1)
+    soft_margin = jnp.minimum(vmag * params.dt, soft_pred)
     margin = (
         colliders.contact_skin[:, None]
         + 0.5 * params.prediction_distance()
         + 0.01 * params.length_unit
+        + soft_margin[:, None]
     )
     mins = mins - margin
     maxs = maxs + margin
@@ -194,7 +207,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # ------------------------------------------------------------------
     man = compute_manifolds(
         bodies, colliders, c1, c2, pair_valid, params.prediction_distance(),
-        present=params.shape_types_present, hulls=state.hulls,
+        present=params.shape_types_present, hulls=state.hulls, dt=params.dt,
     )
     if has_meshes:
         man_mesh = compute_mesh_manifolds(
@@ -357,10 +370,13 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # constraint generation + the whole substep/color loop run on-chip from
     # a ~40-row manifold stream (no HBM constraint round-trips).
     backend = params.solver_backend
+    from rapier_tpu.types import FrictionModel
     from rapier_tpu.dynamics.solver import pallas_sweep
 
+    coulomb = params.friction_model == int(FrictionModel.COULOMB)
     use_pallas = (
         joints is None
+        and not coulomb
         and backend != "jax"
         and pallas_sweep.vmem_feasible(man.body1.shape[0], n + 1)
         and (backend == "pallas" or jax.default_backend() == "tpu")
@@ -398,13 +414,25 @@ def step(state: SceneState, params: SimParams, hooks=None):
             point_mask=man.point_active,
         )
     else:
-        constraints = cc.generate(man, sb, prev_imp, color, n)
-        # Inject matched warmstart impulses (lane-last already).
-        constraints = constraints._replace(
-            impulse=ws_n * constraints.point_mask,
-            tan_impulse=ws_t,
-            twist_impulse=ws_tw,
-        )
+        if coulomb:
+            from rapier_tpu.dynamics.solver import (
+                contact_constraints_coulomb as cc_model,
+            )
+
+            constraints = cc_model.generate(man, sb, prev_imp, color, n)
+            constraints = constraints._replace(
+                impulse=ws_n * constraints.point_mask,
+                tan_impulse=ws_t * constraints.point_mask[:, None, :],
+            )
+        else:
+            cc_model = cc
+            constraints = cc.generate(man, sb, prev_imp, color, n)
+            # Inject matched warmstart impulses (lane-last already).
+            constraints = constraints._replace(
+                impulse=ws_n * constraints.point_mask,
+                tan_impulse=ws_t,
+                twist_impulse=ws_tw,
+            )
 
         if joints is not None:
             jdyn1 = (joints.body1 >= 0) & dyn[jnp.maximum(joints.body1, 0)]
@@ -420,7 +448,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
         sb, constraints, joint_rows = vs.solve(
             bodies, sb, constraints, num_colors, active, params,
             joints=joints, joint_color=joint_color,
-            num_joint_colors=num_joint_colors,
+            num_joint_colors=num_joint_colors, cc_mod=cc_model,
         )
         if joints is not None and joint_rows is not None:
             joints = joints.replace(impulses=joint_rows.impulse)
@@ -470,8 +498,12 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # 9. Persist contact cache (warmstart round-trip, SURVEY §5.4).
     # ------------------------------------------------------------------
     total_normal = constraints.impulse_acc + constraints.impulse   # [4, P]
-    total_tan = constraints.tan_impulse_acc + constraints.tan_impulse  # [2, P]
+    total_tan = constraints.tan_impulse_acc + constraints.tan_impulse
     pmask = constraints.point_mask                                  # [4, P]
+    ws_twist_out = (
+        getattr(constraints, "twist_impulse", None)
+        if not coulomb else jnp.zeros_like(man.friction)
+    )
     contacts = Contacts(
         pair_key=jnp.where(man.valid, man.pair_key, -1),
         body1=man.body1, body2=man.body2,
@@ -482,7 +514,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
         active=man.valid, touching=man.touching,
         warmstart_impulse=constraints.impulse,
         warmstart_tangent_impulse=constraints.tan_impulse,
-        warmstart_twist_impulse=constraints.twist_impulse,
+        warmstart_twist_impulse=ws_twist_out,
         impulse=total_normal * pmask,
         tangent_impulse=total_tan,
         friction=man.friction, restitution=man.restitution,

@@ -309,16 +309,21 @@ def empty_colliders(c: int) -> Colliders:
     )
 
 
-def empty_contacts(p: int) -> Contacts:
+def empty_contacts(p: int, per_point_tangent: bool = False) -> Contacts:
+    """per_point_tangent widens the tangent warmstart caches to [4, 2, P]
+    for FrictionModel.COULOMB (per-contact-point tangent impulses, the
+    reference ContactData layout contact_pair.rs:34-51); the default twist
+    model stores one tangent pair per manifold."""
+    tan_shape = (4, 2, p) if per_point_tangent else (2, p)
     return Contacts(
         pair_key=_i((p,), -1), body1=_i((p,), -1), body2=_i((p,), -1),
         collider1=_i((p,), -1), collider2=_i((p,), -1),
         normal=_f((3, p)), point=_f((4, 3, p)), dist=_f((4, p)),
         feature_id=_i((4, p), -1), point_active=_b((4, p)),
         num_points=_i((p,)), active=_b((p,)), touching=_b((p,)),
-        warmstart_impulse=_f((4, p)), warmstart_tangent_impulse=_f((2, p)),
+        warmstart_impulse=_f((4, p)), warmstart_tangent_impulse=_f(tan_shape),
         warmstart_twist_impulse=_f((p,)),
-        impulse=_f((4, p)), tangent_impulse=_f((2, p)),
+        impulse=_f((4, p)), tangent_impulse=_f(tan_shape),
         friction=_f((p,)), restitution=_f((p,)),
         events_or=_i((p,)),
     )

@@ -50,10 +50,22 @@ def _as_quat(rotation) -> np.ndarray:
 
 
 
+def _hidx(h):
+    """Coerce a handle (int / BodyHandle) to a plain int index — jax arrays
+    reject arbitrary __index__ objects."""
+    import operator
+
+    try:
+        return operator.index(h)
+    except TypeError:
+        return h
+
+
 def _at_set(arr, h, v):
     """Functional arr[h] = v working for both numpy (host, pre-first-step)
     and jax (device) arrays — world state stays numpy until the first step
     (see types.py empty_* note on the TPU tunnel D2H trap)."""
+    h = _hidx(h)
     if isinstance(arr, np.ndarray):
         arr = arr.copy()
         arr[h] = v
@@ -62,6 +74,7 @@ def _at_set(arr, h, v):
 
 
 def _at_add(arr, h, v):
+    h = _hidx(h)
     if isinstance(arr, np.ndarray):
         arr = arr.copy()
         arr[h] = arr[h] + v
@@ -415,6 +428,13 @@ class ColliderBuilder:
         return self._set(sensor=True)
 
 
+
+def _pad_params(shape_params) -> np.ndarray:
+    prm = np.zeros(12, np.float32)
+    sp = np.asarray(shape_params, np.float32).reshape(-1)
+    prm[: len(sp)] = sp
+    return prm
+
 def _np_quat_mul(a, b):
     ax, ay, az, aw = a
     bx, by, bz, bw = b
@@ -650,6 +670,43 @@ def SpringJointBuilder(rest_length, stiffness, damping):
 
 def _round_up(x: int, m: int) -> int:
     return max(((x + m - 1) // m) * m, m)
+
+
+class BodyHandle:
+    """Generational handle (index, generation) — the reference Arena Index
+    (src/data/arena.rs:28).  Usable directly as an array index while live
+    (__index__); access through a stale handle (slot reused) raises.
+
+    NOT a tuple subclass: numpy would treat a tuple as a multi-dimensional
+    index instead of calling __index__."""
+
+    __slots__ = ("index", "generation")
+
+    def __init__(self, index: int, generation: int):
+        object.__setattr__(self, "index", int(index))
+        object.__setattr__(self, "generation", int(generation))
+
+    def __setattr__(self, *_):
+        raise AttributeError("BodyHandle is immutable")
+
+    def __index__(self):
+        return self.index
+
+    def __int__(self):
+        return self.index
+
+    def __eq__(self, other):
+        if isinstance(other, BodyHandle):
+            return (self.index, self.generation) == (
+                other.index, other.generation
+            )
+        return NotImplemented
+
+    def __hash__(self):
+        return hash((self.index, self.generation))
+
+    def __repr__(self):
+        return f"BodyHandle({self.index}, gen={self.generation})"
 
 
 @dataclass
@@ -990,10 +1047,17 @@ class PhysicsWorld:
                 vertices=np.stack(hull_slots).astype(np.float32)
             )
 
+        from rapier_tpu.types import FrictionModel
+
         self.state = SceneState(
             bodies=Bodies(**bodies),
             colliders=Colliders(**colliders),
-            contacts=empty_contacts(p_cap),
+            contacts=empty_contacts(
+                p_cap,
+                per_point_tangent=(
+                    self.params.friction_model == int(FrictionModel.COULOMB)
+                ),
+            ),
             joints=joints_state,
             meshes=meshes_state,
             multibodies=mb_state,
@@ -1111,6 +1175,257 @@ class PhysicsWorld:
         return Multibodies(**arr)
 
     # ------------------------------------------------------------------
+    # Post-build scene mutation (reference Arena insert/remove with
+    # generational handles, src/data/arena.rs:28; removal-before-step
+    # semantics physics_pipeline.rs:852-903).  Slots are recycled from a
+    # free list over the padded capacity; growing past capacity reallocates
+    # (one recompile), reuse is cheap.
+    # ------------------------------------------------------------------
+    def _init_mutation_state(self):
+        if getattr(self, "_body_gen", None) is not None:
+            return
+        n_cap = self.state.bodies.n
+        c_cap = self.state.colliders.n
+        self._body_gen = np.zeros(n_cap, np.int32)
+        self._collider_gen = np.zeros(c_cap, np.int32)
+        self._free_bodies = list(range(self.n_bodies, n_cap))
+        self._free_colliders = list(range(self.n_colliders, c_cap))
+        # Collider metadata for mass-prop recomputation on removal.
+        self._collider_meta = {
+            i: (cb, parent)
+            for i, (cb, parent) in enumerate(self._pending_colliders)
+        }
+
+    def _resolve(self, h, gen_table):
+        if isinstance(h, BodyHandle):
+            assert gen_table[h.index] == h.generation, (
+                f"stale handle {h}: slot reused (generation "
+                f"{gen_table[h.index]})"
+            )
+            return h.index
+        return int(h)
+
+    def _grow_bodies(self):
+        old = self.state.bodies
+        n_old = old.n
+        n_new = n_old + 8
+        fresh = empty_bodies(n_new)
+        import dataclasses as _dc
+
+        upd = {}
+        for f in _dc.fields(fresh):
+            base = np.asarray(getattr(fresh, f.name))
+            base[:n_old] = np.asarray(getattr(old, f.name))
+            upd[f.name] = base
+        self.state = self.state.replace(bodies=old.__class__(**upd))
+        self._body_gen = np.concatenate([self._body_gen, np.zeros(8, np.int32)])
+        self._free_bodies.extend(range(n_old, n_new))
+
+    def _grow_colliders(self):
+        old = self.state.colliders
+        c_old = old.n
+        c_new = c_old + 8
+        fresh = empty_colliders(c_new)
+        import dataclasses as _dc
+
+        upd = {}
+        for f in _dc.fields(fresh):
+            base = np.asarray(getattr(fresh, f.name))
+            base[:c_old] = np.asarray(getattr(old, f.name))
+            upd[f.name] = base
+        self.state = self.state.replace(colliders=old.__class__(**upd))
+        self._collider_gen = np.concatenate(
+            [self._collider_gen, np.zeros(8, np.int32)]
+        )
+        self._free_colliders.extend(range(c_old, c_new))
+
+    def insert_body_runtime(self, builder: RigidBodyBuilder) -> "BodyHandle":
+        """Insert a rigid body AFTER build() (RigidBodySet::insert)."""
+        assert self.state is not None, "build() first"
+        self._init_mutation_state()
+        if not self._free_bodies:
+            self._grow_bodies()
+        i = self._free_bodies.pop(0)
+        bb = builder
+        q = _as_quat(bb.rotation)
+        b = self.state.bodies
+        upd = dict(
+            pos=_at_set(b.pos, i, np.asarray(bb.translation, np.float32)),
+            rot=_at_set(b.rot, i, q.astype(np.float32)),
+            next_pos=_at_set(b.next_pos, i, np.asarray(bb.translation, np.float32)),
+            next_rot=_at_set(b.next_rot, i, q.astype(np.float32)),
+            linvel=_at_set(b.linvel, i, np.asarray(bb.linvel, np.float32)),
+            angvel=_at_set(b.angvel, i, np.asarray(bb.angvel, np.float32)),
+            body_type=_at_set(b.body_type, i, int(bb.body_type)),
+            enabled=_at_set(b.enabled, i, bb.enabled),
+            locked_axes=_at_set(b.locked_axes, i, bb.locked_axes),
+            gravity_scale=_at_set(b.gravity_scale, i, bb.gravity_scale),
+            linear_damping=_at_set(b.linear_damping, i, bb.linear_damping),
+            angular_damping=_at_set(b.angular_damping, i, bb.angular_damping),
+            dominance=_at_set(b.dominance, i, bb.dominance_group),
+            gyro_enabled=_at_set(b.gyro_enabled, i, bb.gyroscopic_forces_enabled),
+            can_sleep=_at_set(b.can_sleep, i, bb.can_sleep),
+            sleeping=_at_set(b.sleeping, i, bb.sleeping),
+            sleep_timer=_at_set(b.sleep_timer, i, 0.0),
+            inv_mass=_at_set(b.inv_mass, i, 0.0),
+            local_com=_at_set(b.local_com, i, np.zeros(3, np.float32)),
+            inv_principal_inertia=_at_set(
+                b.inv_principal_inertia, i, np.zeros(3, np.float32)
+            ),
+        )
+        self._update_body(**upd)
+        self.n_bodies = max(self.n_bodies, i + 1)
+        return BodyHandle(i, int(self._body_gen[i]))
+
+    def insert_collider_runtime(self, builder: ColliderBuilder,
+                                body=-1) -> "BodyHandle":
+        """Attach a collider AFTER build() (ColliderSet::insert_with_parent).
+        Mesh/hull/compound shapes require build-time tables — not yet
+        insertable at runtime."""
+        assert self.state is not None, "build() first"
+        assert getattr(builder, "_mesh", None) is None
+        assert getattr(builder, "_hull_points", None) is None
+        assert getattr(builder, "_children", None) is None
+        self._init_mutation_state()
+        if not self._free_colliders:
+            self._grow_colliders()
+        i = self._free_colliders.pop(0)
+        parent = self._resolve(body, self._body_gen) if not isinstance(
+            body, int
+        ) or body >= 0 else -1
+        cb = builder
+        prm = np.zeros(12, np.float32)
+        prm[: len(cb.shape_params)] = cb.shape_params
+        c = self.state.colliders
+        upd = dict(
+            parent=_at_set(c.parent, i, parent),
+            local_pos=_at_set(c.local_pos, i, np.asarray(cb.translation, np.float32)),
+            local_rot=_at_set(c.local_rot, i, _as_quat(cb.rotation).astype(np.float32)),
+            shape_type=_at_set(c.shape_type, i, int(cb.shape_type)),
+            shape_params=_at_set(c.shape_params, i, prm),
+            friction=_at_set(c.friction, i, cb.friction),
+            restitution=_at_set(c.restitution, i, cb.restitution),
+            friction_combine=_at_set(c.friction_combine, i, int(cb.friction_combine_rule)),
+            restitution_combine=_at_set(
+                c.restitution_combine, i, int(cb.restitution_combine_rule)
+            ),
+            collision_groups=_at_set(c.collision_groups, i, cb.collision_groups),
+            solver_groups=_at_set(c.solver_groups, i, cb.solver_groups),
+            sensor=_at_set(c.sensor, i, cb.sensor),
+            enabled=_at_set(c.enabled, i, cb.enabled),
+            contact_skin=_at_set(c.contact_skin, i, cb.contact_skin),
+            active_events=_at_set(c.active_events, i, cb.active_events),
+            active_hooks=_at_set(c.active_hooks, i, cb.active_hooks),
+            contact_force_event_threshold=_at_set(
+                c.contact_force_event_threshold, i,
+                cb.contact_force_event_threshold,
+            ),
+        )
+        self.state = self.state.replace(
+            colliders=self.state.colliders.replace(**upd)
+        )
+        self._collider_meta[i] = (cb, parent)
+        self.n_colliders = max(self.n_colliders, i + 1)
+        if parent >= 0:
+            self._recompute_body_mass(parent)
+        # Census: a new shape type (or second instance of one) can enable
+        # narrow-phase kernels -> params change -> recompile at next step.
+        census = dict(
+            e if isinstance(e, tuple) else (e, 1 << 30)
+            for e in self.params.shape_types_present
+        )
+        census[int(cb.shape_type)] = census.get(int(cb.shape_type), 0) + 1
+        self.params = self.params.replace(
+            shape_types_present=tuple(sorted(census.items()))
+        )
+        return BodyHandle(i, int(self._collider_gen[i]))
+
+    def _recompute_body_mass(self, body: int):
+        """Rebuild a body's mass properties from its attached colliders
+        (RigidBody::recompute_mass_properties_from_colliders)."""
+        parts = []
+        for ci, (cb, parent) in self._collider_meta.items():
+            if parent != body or cb.sensor:
+                continue
+            if not bool(np.asarray(self.state.colliders.enabled[ci])):
+                continue
+            prm = np.asarray(self.state.colliders.shape_params[ci])
+            smp = mp.shape_mass_properties(int(cb.shape_type), prm, cb.density)
+            parts.append((smp, np.asarray(cb.translation, np.float64),
+                          _as_quat(cb.rotation)))
+        combined = mp.combine(parts)
+        b = self.state.bodies
+        if combined.mass > 0:
+            with np.errstate(divide="ignore"):
+                inv_i = np.where(
+                    combined.principal_inertia > 0,
+                    1.0 / combined.principal_inertia, 0.0,
+                )
+            self._update_body(
+                inv_mass=_at_set(b.inv_mass, body, 1.0 / combined.mass),
+                local_com=_at_set(b.local_com, body,
+                                  combined.com.astype(np.float32)),
+                inv_principal_inertia=_at_set(
+                    b.inv_principal_inertia, body, inv_i.astype(np.float32)
+                ),
+                principal_frame=_at_set(
+                    b.principal_frame, body,
+                    combined.principal_frame.astype(np.float32),
+                ),
+            )
+        else:
+            self._update_body(
+                inv_mass=_at_set(b.inv_mass, body, 0.0),
+                inv_principal_inertia=_at_set(
+                    b.inv_principal_inertia, body, np.zeros(3, np.float32)
+                ),
+            )
+
+    def remove_collider_runtime(self, handle, wake_up: bool = True):
+        """Detach + disable a collider (ColliderSet::remove)."""
+        self._init_mutation_state()
+        i = self._resolve(handle, self._collider_gen)
+        c = self.state.colliders
+        parent = int(np.asarray(c.parent[i]))
+        self.state = self.state.replace(colliders=c.replace(
+            enabled=_at_set(c.enabled, i, False),
+            parent=_at_set(c.parent, i, -1),
+        ))
+        self._collider_gen[i] += 1
+        self._free_colliders.insert(0, i)
+        self._collider_meta.pop(i, None)
+        if parent >= 0:
+            self._recompute_body_mass(parent)
+            if wake_up:
+                self.wake_up(parent)
+
+    def remove_body_runtime(self, handle):
+        """Remove a rigid body + its colliders (RigidBodySet::remove;
+        removal-before-step test physics_pipeline.rs:852-903)."""
+        self._init_mutation_state()
+        i = self._resolve(handle, self._body_gen)
+        # Remove attached colliders first.
+        for ci in [ci for ci, (_, p) in self._collider_meta.items() if p == i]:
+            c = self.state.colliders
+            self.state = self.state.replace(colliders=c.replace(
+                enabled=_at_set(c.enabled, ci, False),
+                parent=_at_set(c.parent, ci, -1),
+            ))
+            self._collider_gen[ci] += 1
+            self._free_colliders.insert(0, ci)
+            self._collider_meta.pop(ci, None)
+        b = self.state.bodies
+        self._update_body(
+            enabled=_at_set(b.enabled, i, False),
+            body_type=_at_set(b.body_type, i, int(BodyType.FIXED)),
+            linvel=_at_set(b.linvel, i, np.zeros(3, np.float32)),
+            angvel=_at_set(b.angvel, i, np.zeros(3, np.float32)),
+            inv_mass=_at_set(b.inv_mass, i, 0.0),
+        )
+        self._body_gen[i] += 1
+        self._free_bodies.insert(0, i)   # LIFO reuse (arena free-list order)
+
+    # ------------------------------------------------------------------
     # Multibody access (reference Multibody::generalized_velocity etc.)
     # ------------------------------------------------------------------
     def multibody_q(self, tree: int = 0) -> np.ndarray:
@@ -1150,19 +1465,19 @@ class PhysicsWorld:
         return self.state
 
     def body_translation(self, h: int) -> np.ndarray:
-        return np.asarray(self.state.bodies.pos[h])
+        return np.asarray(self.state.bodies.pos[_hidx(h)])
 
     def body_rotation(self, h: int) -> np.ndarray:
-        return np.asarray(self.state.bodies.rot[h])
+        return np.asarray(self.state.bodies.rot[_hidx(h)])
 
     def body_linvel(self, h: int) -> np.ndarray:
-        return np.asarray(self.state.bodies.linvel[h])
+        return np.asarray(self.state.bodies.linvel[_hidx(h)])
 
     def body_angvel(self, h: int) -> np.ndarray:
-        return np.asarray(self.state.bodies.angvel[h])
+        return np.asarray(self.state.bodies.angvel[_hidx(h)])
 
     def body_is_sleeping(self, h: int) -> bool:
-        return bool(self.state.bodies.sleeping[h])
+        return bool(self.state.bodies.sleeping[_hidx(h)])
 
     def _update_body(self, **field_updates):
         self.state = self.state.replace(
@@ -1250,9 +1565,37 @@ class PhysicsWorld:
 
         return queries.cast_shape(
             self.state.bodies, self.state.colliders,
-            int(shape_type), jnp.asarray(shape_params, jnp.float32),
+            int(shape_type), jnp.asarray(_pad_params(shape_params)),
             jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
             jnp.asarray(direction, jnp.float32), max_toi, **kw,
+        )
+
+    def intersections_with_shape(self, shape_type, shape_params, pos, rot,
+                                 **kw) -> np.ndarray:
+        """Collider indices intersecting a placed convex shape
+        (QueryPipeline::intersect_shape, query_pipeline.rs:537)."""
+        from rapier_tpu.geometry import queries
+
+        mask = queries.intersect_shape(
+            self.state.bodies, self.state.colliders,
+            int(shape_type), jnp.asarray(_pad_params(shape_params)),
+            jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
+            **kw,
+        )
+        return np.nonzero(np.asarray(mask))[0]
+
+    def cast_shape_nonlinear(self, shape_type, shape_params, pos, rot,
+                             linvel, angvel, max_toi, **kw):
+        """Sweep a shape along a rigid motion (translation + rotation):
+        QueryPipeline::cast_shape_nonlinear (query_pipeline.rs:510)."""
+        from rapier_tpu.geometry import queries
+
+        return queries.cast_shape_nonlinear(
+            self.state.bodies, self.state.colliders,
+            int(shape_type), jnp.asarray(_pad_params(shape_params)),
+            jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
+            jnp.asarray(linvel, jnp.float32), jnp.asarray(angvel, jnp.float32),
+            max_toi, **kw,
         )
 
     # ------------------------------------------------------------------

@@ -31,3 +31,45 @@ def test_fast_ball_stopped_by_ccd():
     assert x < 0.0, f"ball at x={x} should have been clamped at the wall"
     assert x > -1.5  # and it did reach the wall
     assert np.isfinite(w.body_translation(b)).all()
+
+
+def test_ccd3_wall_smash_no_tunneling():
+    """ccd3 scene flavor (examples3d/ccd3.rs:39-102): a 1000 m/s ball with
+    CCD enabled must NOT tunnel through box walls at dt=1/60 (16.7 units of
+    travel per step) — motion clamping stops it at the first impact and the
+    discrete solver takes over."""
+    w = PhysicsWorld()
+    g = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, -0.1, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(200.0, 0.1, 10.0), g)
+    boxes = []
+    for wall_x in (20.0, 30.0):
+        for iy in range(4):
+            b = w.insert_body(
+                RigidBodyBuilder.dynamic().with_translation(
+                    (wall_x, 0.5 + iy, 0.0)
+                )
+            )
+            w.insert_collider(
+                ColliderBuilder.cuboid(0.5, 0.5, 1.0), b
+            )
+            boxes.append(b)
+    ball = w.insert_body(
+        RigidBodyBuilder.dynamic().with_translation((0.0, 2.0, 0.0))
+        .with_linvel((1000.0, 0.0, 0.0))
+    )
+    ball_b = w.insert_body  # noqa: keep handle style consistent
+    w.insert_collider(ColliderBuilder.ball(0.5).with_density(10.0), ball)
+    # ccd_enabled via builder flag:
+    w._pending_bodies[ball].ccd_enabled = True
+    w.build()
+    assert w.params.enable_ccd
+    for _ in range(30):
+        w.step()
+        px = float(np.asarray(w.body_translation(ball))[0])
+        assert px < 35.0, f"ball tunneled through the walls: x={px}"
+    # The impact transferred momentum: at least one wall box moved.
+    moved = any(
+        abs(float(np.asarray(w.body_translation(b))[0]) - wx) > 0.2
+        for b, wx in zip(boxes, [20.0] * 4 + [30.0] * 4)
+    )
+    assert moved, "walls never felt the impact"

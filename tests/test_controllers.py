@@ -145,3 +145,81 @@ def test_vehicle_drives_forward():
     assert p[2] < -1.0, f"vehicle should drive forward (-z), at {p}"
     assert 0.2 < p[1] < 1.0  # suspension holds it off the ground
     assert bool(np.asarray(upd.in_contact).all())
+
+
+def test_character_autostep_onto_ledge():
+    """CharacterAutostep (character_controller.rs:68): a capsule walking into
+    a 0.2-high ledge steps up onto it when autostep is enabled, and is
+    blocked when it is not."""
+    w = PhysicsWorld()
+    g = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, -0.5, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(20, 0.5, 20), g)
+    ledge = w.insert_body(RigidBodyBuilder.fixed().with_translation((2.0, 0.1, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(1.0, 0.1, 5.0), ledge)
+    w.build()
+
+    shape = (ShapeType.CAPSULE, jnp.asarray(
+        [0.0, -0.3, 0.0, 0.0, 0.3, 0.0, 0.25] + [0.0] * 5, jnp.float32))
+    start = jnp.asarray([0.0, 0.56, 0.0])
+    want = jnp.asarray([1.6, 0.0, 0.0])
+
+    blocked = _move_shape(
+        w.state.bodies, w.state.colliders, shape[0], shape[1],
+        start, jnp.asarray([0.0, 0.0, 0.0, 1.0]), want,
+        CharacterControllerOptions(autostep_max_height=0.0),
+    )
+    stepped = _move_shape(
+        w.state.bodies, w.state.colliders, shape[0], shape[1],
+        start, jnp.asarray([0.0, 0.0, 0.0, 1.0]), want,
+        CharacterControllerOptions(
+            autostep_max_height=0.35, autostep_min_width=0.3
+        ),
+    )
+    xb = float(np.asarray(blocked.translation)[0])
+    xs = float(np.asarray(stepped.translation)[0])
+    ys = float(np.asarray(stepped.translation)[1])
+    assert xb < 1.2, f"should be blocked without autostep, moved {xb}"
+    assert xs > xb + 0.2, f"autostep should advance further: {xs} vs {xb}"
+    assert ys > 0.1, f"autostep should lift the character: dy={ys}"
+
+
+def test_vehicle_holds_curve():
+    """Side-friction resolution (ray_cast_vehicle_controller.rs:409-486):
+    with steering applied, the vehicle yaws and follows a curve instead of
+    plowing straight."""
+    w = PhysicsWorld()
+    g = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, -0.5, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(200, 0.5, 200).with_friction(1.0), g)
+    chassis = w.insert_body(
+        RigidBodyBuilder.dynamic().with_translation((0, 0.6, 0))
+    )
+    w.insert_collider(
+        ColliderBuilder.cuboid(0.6, 0.2, 1.0).with_density(3.0), chassis
+    )
+    w.build()
+    wheels = default_wheels(
+        [(-0.5, 0.0, -0.8), (0.5, 0.0, -0.8), (-0.5, 0.0, 0.8), (0.5, 0.0, 0.8)],
+        radius=0.25, rest_length=0.3,
+    )
+    nw = 4
+    steer = jnp.asarray([0.35, 0.35, 0.0, 0.0])   # front-wheel steering
+    for i in range(150):
+        upd = _update_vehicle(
+            w.state.bodies, w.state.colliders, chassis, wheels,
+            engine_force=jnp.full((nw,), 6.0),
+            brake=jnp.zeros((nw,)),
+            steering=steer,
+            dt=w.params.dt,
+        )
+        b = w.state.bodies
+        w.state = w.state.replace(bodies=b.replace(
+            linvel=jnp.asarray(b.linvel).at[chassis].set(upd.linvel),
+            angvel=jnp.asarray(b.angvel).at[chassis].set(upd.angvel),
+            sleeping=jnp.asarray(b.sleeping).at[chassis].set(False),
+        ))
+        w.step()
+    p = np.asarray(w.body_translation(chassis))
+    assert np.isfinite(p).all()
+    # Curved path: significant lateral displacement relative to forward travel.
+    assert abs(p[0]) > 0.8, f"vehicle did not turn: {p}"
+    assert 0.2 < p[1] < 1.0

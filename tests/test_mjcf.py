@@ -66,3 +66,45 @@ def test_mjcf_actuated_swing():
     # The arm rotated about +Y: its rotation has a y component.
     q = w.body_rotation(h.bodies["arm"])
     assert abs(q[1]) > 0.1
+
+
+def test_mjcf_include_keyframes_sensors(tmp_path):
+    """<include> splice, keyframe storage + apply, jointpos/jointvel/framepos
+    sensors (mjcf-rs include handling; rapier3d-mjcf runtime.rs:677-760)."""
+    part = tmp_path / "arm.xml"
+    part.write_text("""
+<mujoco>
+  <worldbody>
+    <body name="upper" pos="0 0 1">
+      <joint name="shoulder" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 0 0 -0.5" size="0.05"/>
+    </body>
+  </worldbody>
+  <sensor>
+    <jointpos name="q_shoulder" joint="shoulder"/>
+    <jointvel name="dq_shoulder" joint="shoulder"/>
+    <framepos name="p_upper" objname="upper"/>
+  </sensor>
+  <keyframe>
+    <key name="home" qpos="0.5"/>
+  </keyframe>
+</mujoco>
+""")
+    main = tmp_path / "scene.xml"
+    main.write_text(f"""
+<mujoco>
+  <include file="arm.xml"/>
+</mujoco>
+""")
+    w = PhysicsWorld(gravity=(0, 0, -9.81))
+    h = load_mjcf(str(main), w)
+    assert "shoulder" in h.joints
+    assert "home" in h.keyframes and h.keyframes["home"][0] == 0.5
+    assert len(h.sensors) == 3
+    w.build()
+    h.apply_keyframe(w, "home")
+    w.step(240)
+    vals = h.read_sensors(w)
+    assert abs(vals["q_shoulder"] - 0.5) < 0.15, vals
+    assert abs(vals["dq_shoulder"]) < 0.5
+    assert np.isfinite(vals["p_upper"]).all()

@@ -114,3 +114,40 @@ def test_exclude_collider(scene):
     )
     # Skips the ball, hits the ground below.
     assert bool(hit.hit) and int(hit.collider) == 0
+
+
+def test_intersect_shape(scene):
+    """QueryPipeline::intersect_shape (query_pipeline.rs:537)."""
+    from rapier_tpu.types import ShapeType
+
+    # A ball probe at the scene ball's position overlaps only it (collider 1).
+    hits = scene.intersections_with_shape(
+        ShapeType.BALL, [0.6], (5.0, 1.0, 0.0), (0, 0, 0, 1)
+    )
+    assert list(hits) == [1], hits
+
+
+def test_cast_shape_nonlinear_vs_linear(scene):
+    """A pure-translation nonlinear cast must agree with the linear cast
+    (query_pipeline.rs:510)."""
+    w = scene
+    from rapier_tpu.types import ShapeType
+
+    lin = w.cast_shape(ShapeType.BALL, [0.2], (2.0, 1.0, 0.0), (0, 0, 0, 1),
+                       (1.0, 0.0, 0.0), 10.0)
+    non = w.cast_shape_nonlinear(
+        ShapeType.BALL, [0.2], (2.0, 1.0, 0.0), (0, 0, 0, 1),
+        (1.0, 0.0, 0.0), (0.0, 0.0, 0.0), 10.0,
+    )
+    assert bool(np.asarray(lin.hit)) and bool(np.asarray(non.hit))
+    np.testing.assert_allclose(
+        float(np.asarray(non.toi)), float(np.asarray(lin.toi)), atol=0.02
+    )
+    # A tumbling capsule reaches the obstacle: rotation matters but the cast
+    # still reports a finite, earlier-or-equal impact than ignoring rotation.
+    non2 = w.cast_shape_nonlinear(
+        ShapeType.CAPSULE, [0.0, -0.5, 0.0, 0.0, 0.5, 0.0, 0.2],
+        (2.0, 1.0, 0.0), (0, 0, 0, 1),
+        (1.0, 0.0, 0.0), (0.0, 0.0, 3.0), 10.0,
+    )
+    assert bool(np.asarray(non2.hit))

@@ -10,6 +10,7 @@ from rapier_tpu.world2d import (
     ColliderBuilder2D,
     PhysicsWorld2D,
     RigidBodyBuilder2D,
+    revolute_joint_2d,
 )
 
 
@@ -97,3 +98,236 @@ def test_s2d_confined_boxes_calm():
         v = w.body_linvel2(b)
         assert np.linalg.norm(v) < 0.1, f"box {b} still moving at {v}"
         assert -0.1 < w.body_translation2(b)[1] < 3.0
+
+
+def _energy(w, handles):
+    """Total kinetic energy of the listed bodies (drift metric)."""
+    e = 0.0
+    for h in handles:
+        v = w.body_linvel2(h)
+        inv_m = float(np.asarray(w.state.bodies.inv_mass)[h])
+        m = 1.0 / inv_m if inv_m > 0 else 0.0
+        e += 0.5 * m * float(v[0] ** 2 + v[1] ** 2)
+    return e
+
+
+def test_s2d_pyramid_30_rows_metrics():
+    """Medium-scale pyramid (465 boxes) with the BASELINE correctness
+    metrics: contact-count stability and kinetic-energy drift -> 0 at rest
+    (s2d_pyramid.rs:13-38; reference scale is base=100 — tracked for the
+    large-scene path)."""
+    w = PhysicsWorld2D()
+    handles = build_pyramid(w, 30)
+    w.build()
+    w.step(240)
+    c0 = int(np.asarray(w.state.contacts.touching).sum())
+    e0 = _energy(w, [h for h, _, _ in handles[:120]])
+    w.step(60)
+    c1 = int(np.asarray(w.state.contacts.touching).sum())
+    e1 = _energy(w, [h for h, _, _ in handles[:120]])
+    # Contact count: every interior box shares ~3 contacts; the settled count
+    # must be in the structural range and stable between probes.
+    n_boxes = len(handles)
+    assert c0 > n_boxes, f"too few contacts for a settled pyramid: {c0}"
+    assert abs(c1 - c0) <= max(6, c0 // 20), f"contact count unstable: {c0}->{c1}"
+    # Energy drift: settled stack is quiescent.
+    assert e1 < 0.5, f"pyramid still jittering: E={e1}"
+    # Structure: spot-check a sample of boxes (full check is O(465) fetches).
+    for h, x, y in handles[::23]:
+        p = w.body_translation2(h)
+        assert abs(p[0] - x) < 0.25 and abs(p[1] - y) < 0.25, (
+            f"box {h} moved: {p} vs ({x},{y})"
+        )
+
+
+def test_s2d_bridge():
+    """s2d_bridge.rs: a 60-plank revolute bridge anchored at both ends sags
+    but holds (contacts disabled along the chain)."""
+    w = PhysicsWorld2D(max_pairs=512)
+    ground = w.insert_body(RigidBodyBuilder2D.fixed())
+    count = 60
+    x_base = -30.0
+    prev = ground
+    planks = []
+    for i in range(count):
+        b = w.insert_body(
+            RigidBodyBuilder2D.dynamic().with_translation(
+                (x_base + 0.5 + 1.0 * i, 20.0)
+            )
+        )
+        w.insert_collider(
+            ColliderBuilder2D.cuboid(0.5, 0.125).with_density(20.0), b
+        )
+        jb = revolute_joint_2d(
+            anchor1=(x_base + 1.0 * i, 20.0) if prev == ground else (0.5, 0.0),
+            anchor2=(-0.5, 0.0),
+        ).with_contacts_enabled(False)
+        w.insert_impulse_joint(prev, b, jb)
+        planks.append(b)
+        prev = b
+    # Anchor the far end to the ground.
+    jb = revolute_joint_2d(
+        anchor1=(x_base + 1.0 * count, 20.0), anchor2=(0.5, 0.0)
+    ).with_contacts_enabled(False)
+    w.insert_impulse_joint(ground, planks[-1], jb)
+    w.build()
+    w.step(240)
+    ys = [w.body_translation2(b)[1] for b in planks]
+    assert all(np.isfinite(ys)), "bridge blew up"
+    # Sags below 20 but the chain holds well above the ground.
+    assert 10.0 < min(ys) < 20.01, f"bridge failed: min y {min(ys)}"
+    # End planks stay near their anchors.
+    assert abs(ys[0] - 20.0) < 2.0 and abs(ys[-1] - 20.0) < 2.0
+
+
+def test_s2d_ball_and_chain():
+    """s2d_ball_and_chain.rs: a 30-link capsule chain hangs from the ground
+    anchor without stretching apart."""
+    w = PhysicsWorld2D(max_pairs=256)
+    ground = w.insert_body(RigidBodyBuilder2D.fixed())
+    count = 30
+    hx = 0.5
+    prev = ground
+    links = []
+    for i in range(count):
+        b = w.insert_body(
+            RigidBodyBuilder2D.dynamic().with_translation(
+                ((1.0 + 2.0 * i) * hx, count * hx)
+            )
+        )
+        w.insert_collider(
+            ColliderBuilder2D.capsule_x(hx, 0.125).with_density(20.0), b
+        )
+        jb = revolute_joint_2d(
+            anchor1=((2.0 * i) * hx, count * hx) if prev == ground else (hx, 0.0),
+            anchor2=(-hx, 0.0),
+        ).with_contacts_enabled(False)
+        w.insert_impulse_joint(prev, b, jb)
+        links.append(b)
+        prev = b
+    w.build()
+    w.step(300)
+    # Chain pivots around the fixed anchor; joint gaps stay closed.
+    for a, b in zip(links[:-1], links[1:]):
+        pa = w.body_translation2(a)
+        pb = w.body_translation2(b)
+        gap = np.linalg.norm(pa - pb)
+        assert gap < 2.0 * hx * 1.3, f"chain stretched: {gap}"
+    assert all(np.isfinite(w.body_translation2(b)).all() for b in links)
+
+
+@pytest.mark.xfail(
+    reason="f32 end-to-end engine: contact depths at a 1e5 origin lose "
+    "~0.01 absolute precision and the stack settles visibly; the reference "
+    "covers this with its f64 builds (ARCHITECTURE.md dim/precision "
+    "variants) — an f64 dtype axis is tracked for a later round",
+    strict=False,
+)
+def test_s2d_far_pyramid():
+    """s2d_far_pyramid.rs: the 10-row pyramid at origin (100000, -80000) —
+    f32 precision stress far from the origin."""
+    w = PhysicsWorld2D()
+    origin = np.array([100_000.0, -80_000.0])
+    ground = w.insert_body(
+        RigidBodyBuilder2D.fixed().with_translation(tuple((0, -1) + origin))
+    )
+    w.insert_collider(ColliderBuilder2D.cuboid(100.0, 1.0).with_friction(0.6), ground)
+    handles = []
+    base = 10
+    h = 0.5
+    shift = 1.25 * h
+    for i in range(base):
+        y = (2.0 * i + 1.0) * shift + 0.5
+        for j in range(i, base):
+            x = (i + 1.0) * shift + 2.0 * (j - i) * shift - h * base
+            b = w.insert_body(
+                RigidBodyBuilder2D.dynamic().with_translation(
+                    tuple(np.array([x, y]) + origin)
+                )
+            )
+            w.insert_collider(
+                ColliderBuilder2D.cuboid(h, h).with_friction(0.6), b
+            )
+            handles.append((b, x + origin[0], y + origin[1]))
+    w.build()
+    w.step(180)
+    for hd, x, y in handles[::7]:
+        p = w.body_translation2(hd)
+        assert np.isfinite(p).all()
+        # f32 ULP at 1e5 is ~0.0078; allow generous drift but no collapse.
+        assert abs(p[1] - y) < 1.0, f"far box sank: {p} vs ({x},{y})"
+
+
+def test_s2d_joint_grid():
+    """s2d_joint_grid.rs flavor: an N x N lattice of balls connected by
+    revolute joints, pinned along the top row — a joint-solver stress."""
+    w = PhysicsWorld2D(max_pairs=256)
+    n = 6
+    spacing = 1.0
+    grid = {}
+    for r in range(n):
+        for c in range(n):
+            if r == 0:
+                b = w.insert_body(
+                    RigidBodyBuilder2D.fixed().with_translation((c * spacing, 0.0))
+                )
+            else:
+                b = w.insert_body(
+                    RigidBodyBuilder2D.dynamic().with_translation(
+                        (c * spacing, -r * spacing)
+                    )
+                )
+                w.insert_collider(
+                    ColliderBuilder2D.ball(0.2).with_density(5.0), b
+                )
+            grid[(r, c)] = b
+    for r in range(n):
+        for c in range(n):
+            if r + 1 < n:
+                w.insert_impulse_joint(
+                    grid[(r, c)], grid[(r + 1, c)],
+                    revolute_joint_2d(anchor1=(0, -spacing / 2),
+                                      anchor2=(0, spacing / 2))
+                    .with_contacts_enabled(False),
+                )
+            if c + 1 < n:
+                w.insert_impulse_joint(
+                    grid[(r, c)], grid[(r, c + 1)],
+                    revolute_joint_2d(anchor1=(spacing / 2, 0),
+                                      anchor2=(-spacing / 2, 0))
+                    .with_contacts_enabled(False),
+                )
+    w.build()
+    w.step(240)
+    for (r, c), b in grid.items():
+        p = w.body_translation2(b)
+        assert np.isfinite(p).all()
+        # The lattice hangs as a connected net: nothing falls away.
+        assert p[1] > -(n + 2.0), f"lattice node ({r},{c}) fell: {p}"
+
+
+def test_coulomb_friction_model_stack():
+    """FrictionModel::Coulomb (contact_with_coulomb_friction.rs:323):
+    per-point tangent friction — the multibody/2D default.  A 6-row pyramid
+    under the Coulomb model must stand, and a kicked box must slide to rest."""
+    from rapier_tpu.types import FrictionModel
+
+    w = PhysicsWorld2D()
+    w.params = w.params.replace(friction_model=int(FrictionModel.COULOMB))
+    handles = build_pyramid(w, 6)
+    slider = w.insert_body(
+        RigidBodyBuilder2D.dynamic().with_translation((20.0, 0.55)).with_linvel((6.0, 0.0))
+    )
+    w.insert_collider(ColliderBuilder2D.cuboid(0.5, 0.5).with_friction(0.4), slider)
+    w.build()
+    w.step(300)
+    for h, x, y in handles:
+        p = w.body_translation2(h)
+        assert abs(p[0] - x) < 0.15 and abs(p[1] - y) < 0.15, (
+            f"coulomb pyramid box {h} moved: {p} vs ({x},{y})"
+        )
+    # The kicked box decelerated to rest by friction (finite travel).
+    ps = w.body_translation2(slider)
+    vs_ = w.body_linvel2(slider)
+    assert 20.5 < ps[0] < 30.0, f"slider travel {ps}"
+    assert abs(vs_[0]) < 0.1, f"slider still moving: {vs_}"

@@ -70,3 +70,27 @@ def test_pendulum_swings_and_holds_together():
     assert arm2[0] < -0.05
     # Planar (z = 0) motion only.
     assert abs(arm1[2]) < 1e-2 and abs(arm2[2]) < 1e-2
+
+
+def test_binary_stl_loads(tmp_path):
+    """Binary STL (the common robot-asset format, rapier3d-meshloader)."""
+    import struct
+
+    # A single triangle, binary STL.
+    tri = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+    buf = b"\x00" * 80 + struct.pack("<I", 1)
+    buf += struct.pack("<3f", 0, 0, 1)
+    for v in tri:
+        buf += struct.pack("<3f", *v)
+    buf += struct.pack("<H", 0)
+    p = tmp_path / "tri.stl"
+    p.write_bytes(buf)
+
+    from rapier_tpu.loaders.urdf import _load_mesh_file
+
+    out = _load_mesh_file(str(p))
+    assert out is not None
+    verts, faces = out
+    assert faces.shape == (1, 3)
+    assert verts.shape[0] == 3
+    np.testing.assert_allclose(sorted(verts[:, 0]), [0.0, 0.0, 1.0])
