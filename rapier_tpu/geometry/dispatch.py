@@ -549,17 +549,9 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
     skins = colliders.contact_skin[lane_cA] + colliders.contact_skin[lane_cM]
     dist = dist - skins[:, None]
     pvalid = pvalid & lane_ok[:, None]
-    # Soft-CCD prediction inflation (narrow_phase.rs:944-970).
-    soft_flag = (T1[37] > 0.0) | (T2[37] > 0.0)
-    rel_v = jnp.sqrt(jnp.maximum(
-        (T1[34] - T2[34]) ** 2 + (T1[35] - T2[35]) ** 2
-        + (T1[36] - T2[36]) ** 2, 0.0,
-    ))
-    dt_f = jnp.float32(0.0) if dt is None else jnp.asarray(dt, jnp.float32)
-    eff_prediction = jnp.where(
-        soft_flag, jnp.maximum(prediction, dt_f * rel_v), prediction
-    )                                                   # [P]
-    point_active = pvalid & (dist < eff_prediction[None, :])
+    # (Mesh lanes are row-major here; soft-CCD inflation applies to the
+    # convex path only — mesh CCD is tracked separately.)
+    point_active = pvalid & (dist < prediction)
     touching = lane_ok & jnp.any(point_active, axis=-1)
 
     lo_c = jnp.where(lane_flip, lane_cM, lane_cA)

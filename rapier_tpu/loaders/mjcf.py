@@ -178,8 +178,8 @@ class MjcfRobotHandles:
             ax = self.joint_axis[jname]
             tp = tp.at[j, ax].set(float(val))
             # Ensure a position motor exists to track the keyframe.
-            ms = ms.at[j, ax].set(jnp.maximum(ms[j, ax], 50.0))
-            md = md.at[j, ax].set(jnp.maximum(md[j, ax], 5.0))
+            ms = ms.at[j, ax].set(jnp.maximum(ms[j, ax], 500.0))
+            md = md.at[j, ax].set(jnp.maximum(md[j, ax], 50.0))
             maxes = maxes.at[j].set(maxes[j] | (1 << ax))
         world.state = world.state.replace(joints=joints.replace(
             motor_target_pos=tp, motor_stiffness=ms, motor_damping=md,
@@ -394,6 +394,14 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
 
     handles = MjcfRobotHandles()
     rt = np.asarray(root_translation, float)
+    _anchor = [None]
+
+    def world_anchor():
+        """Lazy fixed body at the origin: the joint anchor for top-level
+        bodies jointed directly to the world (MuJoCo semantics)."""
+        if _anchor[0] is None:
+            _anchor[0] = world.insert_body(RigidBodyBuilder.fixed())
+        return _anchor[0]
 
     def body_class(elem, inherited):
         return elem.get("childclass", elem.get("class", inherited))
@@ -428,20 +436,33 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
             )
             fixed_to_parent = len(joints) == 0
 
-            bb = RigidBodyBuilder.dynamic()
+            # A top-level body with no joints is welded to the world
+            # (MuJoCo: jointless bodies join the parent's rigid assembly).
+            if fixed_to_parent and parent_handle is None:
+                bb = RigidBodyBuilder.fixed()
+            else:
+                bb = RigidBodyBuilder.dynamic()
             bb.translation = tuple(wpos)
             bb.rotation = tuple(wrot)
             h = world.insert_body(bb)
             handles.bodies[b.get("name", f"body{h}")] = h
             insert_geoms(h, b, bcls, False)
 
-            if fixed_to_parent and parent_handle is not None:
+            # Joints on top-level bodies anchor to a fixed world body; the
+            # parent-frame anchor then uses WORLD coordinates.
+            p_handle = parent_handle
+            a_pos, a_rot = bpos, brot
+            if parent_handle is None and joints and not has_free:
+                p_handle = world_anchor()
+                a_pos, a_rot = wpos, wrot
+
+            if fixed_to_parent and p_handle is not None:
                 gb = GenericJointBuilder.fixed()
-                gb.with_local_anchor1(tuple(bpos)).with_contacts_enabled(False)
+                gb.with_local_anchor1(tuple(a_pos)).with_contacts_enabled(False)
                 base1 = np.asarray(gb.local_frame_rot1)
-                gb.local_frame_rot1 = tuple(_quat_mul(brot, base1))
-                world.insert_impulse_joint(parent_handle, h, gb)
-            elif not has_free and joints and parent_handle is not None:
+                gb.local_frame_rot1 = tuple(_quat_mul(a_rot, base1))
+                world.insert_impulse_joint(p_handle, h, gb)
+            elif not has_free and joints and p_handle is not None:
                 j = joints[0]
                 attrs = defaults.resolve("joint", j.attrib, j.get("class", bcls))
                 jtype = attrs.get("type", "hinge")
@@ -465,14 +486,14 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                     gb, ax_slot = None, 0
                 if gb is not None:
                     # Anchor at the joint position (jpos is child-body-local).
-                    gb.with_local_anchor1(tuple(bpos + _quat_rotate(brot, jpos)))
+                    gb.with_local_anchor1(tuple(a_pos + _quat_rotate(a_rot, jpos)))
                     gb.with_local_anchor2(tuple(jpos))
                     gb.with_contacts_enabled(False)
                     if jtype != "ball":
                         # frame2 = X->axis in the child; frame1 = brot ∘ frame2
                         # so the frames coincide at the assembled rest pose.
                         gb.local_frame_rot1 = tuple(
-                            _quat_mul(brot, np.asarray(gb.local_frame_rot2))
+                            _quat_mul(a_rot, np.asarray(gb.local_frame_rot2))
                         )
                     if attrs.get("limited", "false") in ("true", "1") and \
                             "range" in attrs:
@@ -483,7 +504,7 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                         gb.with_motor_velocity(ax_slot, 0.0, float(attrs["damping"]))
                     name = j.get("name", f"joint{h}")
                     handles.joints[name] = world.insert_impulse_joint(
-                        parent_handle, h, gb
+                        p_handle, h, gb
                     )
                     handles.joint_axis[name] = ax_slot
                     handles.joint_order.append(name)

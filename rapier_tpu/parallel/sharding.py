@@ -43,6 +43,10 @@ def make_sharded_step(mesh: Mesh, axis_name: str = "scenes", donate: bool = True
     steps).
     """
     sharding = NamedSharding(mesh, P(axis_name))
+    # On a CPU (virtual) mesh the Pallas sweep cannot compile (Mosaic is
+    # TPU-only and jax.default_backend() may still report "tpu" when a TPU
+    # plugin is registered but unused) — pin the JAX solver path.
+    cpu_mesh = all(d.platform == "cpu" for d in mesh.devices.flat)
 
     @functools.partial(
         jax.jit,
@@ -51,6 +55,8 @@ def make_sharded_step(mesh: Mesh, axis_name: str = "scenes", donate: bool = True
         donate_argnums=(0,) if donate else (),
     )
     def sharded_step(state, params):
+        if cpu_mesh and params.solver_backend == "auto":
+            params = params.replace(solver_backend="jax")
         return batched_step(state, params)
 
     return sharded_step
