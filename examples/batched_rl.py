@@ -21,7 +21,7 @@ def main(n_scenes: int = 256, n_steps: int = 60):
     state0 = world.build()
     batch = jax.tree.map(jnp.asarray, replicate_scene(state0, n_scenes))
 
-    mesh = make_mesh()
+    mesh = make_mesh(jax.devices())  # pass YOUR device list explicitly
     stepper = make_sharded_step(mesh, donate=False)
     batch = shard_batch(batch, mesh)
 

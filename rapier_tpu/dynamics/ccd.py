@@ -49,8 +49,9 @@ def _pair_distance(colliders, cA, cB, posA, rotA, posB, rotB):
 def clamp_motions(bodies, colliders, params):
     """Clamp `next_pos` of CCD-enabled fast bodies to their first impact.
 
-    Returns updated bodies.  Candidate pairs: CCD body's swept AABB vs all
-    other colliders (top MAX_CCD_PAIRS by overlap).
+    Returns (updated bodies, dropped-candidate count).  Candidate pairs: CCD
+    body's swept AABB vs all other colliders, per-collider capped by sweep
+    entry time, globally capped at MAX_CCD_PAIRS.
     """
     n = bodies.n
     dyn = bodies.body_type == BodyType.DYNAMIC
@@ -99,11 +100,33 @@ def clamp_motions(bodies, colliders, params):
 
     # Per-collider fairness: cap each CCD collider's candidates so one busy
     # body cannot exhaust the global buffer and silently drop another body's
-    # casts (VERDICT round-1 weak #5).
+    # casts (VERDICT round-1 weak #5).  Candidates are ranked by swept-AABB
+    # entry time along the motion (NOT collider-index order): the cap must
+    # keep the obstacles nearest along the sweep, or a body overlapping >16
+    # colliders could drop its actual first impact and tunnel.
     cand_rows = cand.reshape(c, c)
-    rowcum = jnp.cumsum(cand_rows.astype(jnp.int32), axis=1)
-    cand = (cand_rows & (rowcum <= MAX_PAIRS_PER_COLLIDER)).reshape(-1)
-    src, pvalid, _ = compact_indices(cand, MAX_CCD_PAIRS)
+    ctr0 = 0.5 * (mins0 + maxs0)
+    ctr1 = 0.5 * (mins1 + maxs1)
+    half0 = 0.5 * (maxs0 - mins0)
+    motion = ctr1 - ctr0                                    # [c, 3]
+    # Ray ctr0[i] + t*motion[i] vs j's swept AABB inflated by i's half
+    # extents (conservative Minkowski slab test; heuristic priority only).
+    lo = swept_min[None, :, :] - half0[:, None, :] - ctr0[:, None, :]
+    hi = swept_max[None, :, :] + half0[:, None, :] - ctr0[:, None, :]
+    dn = motion[:, None, :]
+    dsafe = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
+    t1 = lo / dsafe
+    t2 = hi / dsafe
+    entry = jnp.maximum(jnp.max(jnp.minimum(t1, t2), axis=-1), 0.0)  # [c, c]
+    prio = jnp.where(cand_rows, entry, jnp.inf)
+    rank = jnp.argsort(jnp.argsort(prio, axis=1), axis=1)
+    capped = cand_rows & (rank < MAX_PAIRS_PER_COLLIDER)
+    row_overflow = jnp.sum(
+        (cand_rows & ~capped).astype(jnp.int32)
+    )
+    cand = capped.reshape(-1)
+    src, pvalid, global_overflow = compact_indices(cand, MAX_CCD_PAIRS)
+    overflow = row_overflow + global_overflow
     pi = jnp.where(pvalid, i_idx[src], 0)
     pj = jnp.where(pvalid, j_idx[src], 0)
 
@@ -170,4 +193,4 @@ def clamp_motions(bodies, colliders, params):
     r1f = jnp.where(jnp.sum(r0 * r1, -1, keepdims=True) < 0, -r1, r1)
     new_rot = jnp.where(
         clamp[:, None], quat.normalize(r0 + (r1f - r0) * t), bodies.next_rot)
-    return bodies.replace(next_pos=new_next, next_rot=new_rot)
+    return bodies.replace(next_pos=new_next, next_rot=new_rot), overflow

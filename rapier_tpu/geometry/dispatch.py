@@ -218,14 +218,16 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
         bt_c[:, None].astype(f32),                          # 33
         _soft_ccd_cols(bodies, colliders, safe_p, parent, dt),  # 34:38
     ], axis=1)
+    n_staged_cols = cols.shape[1]        # 38 today; derived, never hardcoded
 
-    # Lane-LAST staged table: [34, P] so every per-pair column below is a
-    # tile-friendly [d, P] array (see ManifoldBatch layout docstring).
+    # Lane-LAST staged table: [n_staged_cols, P] so every per-pair column
+    # below is a tile-friendly [d, P] array (see ManifoldBatch layout
+    # docstring).  The one-hot matmuls route each pair's two collider rows.
     ids_c = jnp.arange(n_coll)
     oh_s1 = (s1[:, None] == ids_c[None, :]).astype(f32)
     oh_s2 = (s2[:, None] == ids_c[None, :]).astype(f32)
-    colsT = cols.T                       # [34, C]
-    T1 = colsT @ oh_s1.T                 # [34, P]
+    colsT = cols.T                       # [n_staged_cols, C]
+    T1 = colsT @ oh_s1.T                 # [n_staged_cols, P]
     T2 = colsT @ oh_s2.T
 
     t1 = T1[19].astype(jnp.int32)

@@ -5,11 +5,11 @@ Host-side port of the reference mjcf-rs + rapier3d-mjcf semantics
 <compiler> options (angle units), <default> class inheritance, nested
 <worldbody>/<body> trees with pos/quat/euler/axisangle orientations, geoms
 (plane/sphere/box/capsule/cylinder/ellipsoid/mesh with size/fromto semantics),
-joints (free/ball/hinge/slide with pos/axis/range), inertials, and actuators
-(motor/position/velocity -> joint motors driven via `apply_controls`).
+joints (free/ball/hinge/slide with pos/axis/range), inertials, actuators
+(motor/position/velocity -> joint motors driven via `apply_controls`),
+sensors (`read_sensors`), and keyframes/mocap (`apply_keyframe`).
 
-Not yet covered (reference parity TODO): tendons, equality
-constraints, sensors, keyframes/mocap, composite multi-joint bodies (the
+Not yet covered (reference parity TODO): composite multi-joint bodies (the
 first joint wins; extra hinges degrade to a ball joint).
 """
 
@@ -215,8 +215,7 @@ def _expand_includes(root, base_dir):
     handling, crates/mjcf-rs/src/loader): the included file's <mujoco>
     children replace the include element in place."""
     for parent in list(root.iter()):
-        children = list(parent)
-        for idx, child in enumerate(children):
+        for child in list(parent):
             if child.tag != "include":
                 continue
             fn = child.get("file", "")
@@ -226,8 +225,12 @@ def _expand_includes(root, base_dir):
                 continue
             inc = ET.parse(path).getroot()
             _expand_includes(inc, os.path.dirname(path))
+            # Splice at the element's CURRENT position — earlier includes
+            # under the same parent have already shifted later siblings, so
+            # a snapshot index would reorder <default>/<asset> sections
+            # (document order affects resolution).
+            pos = list(parent).index(child)
             parent.remove(child)
-            pos = idx
             payload = list(inc) if inc.tag == "mujoco" else [inc]
             for sub in payload:
                 parent.insert(pos, sub)

@@ -158,6 +158,20 @@ def inv_rotate_cl(q, v):
     return rotate_cl(qc, v)
 
 
+def to_matrix_cl(q):
+    """Quaternion [4, ...] -> rotation matrix [3, 3, ...] (component-leading:
+    trailing axes stay the lane axes, so vmapped batches keep tile-friendly
+    (3, P)-style trailing dims instead of padded (..., 3, 3) blocks)."""
+    x, y, z, w = q[0], q[1], q[2], q[3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    row0 = jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)])
+    row1 = jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)])
+    row2 = jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)])
+    return jnp.stack([row0, row1, row2])
+
+
 def mul_cl(a, b):
     ax, ay, az, aw = a[0], a[1], a[2], a[3]
     bx, by, bz, bw = b[0], b[1], b[2], b[3]

@@ -23,8 +23,19 @@ def batched_step(state, params):
     return jax.vmap(_step, in_axes=(0, None))(state, params)
 
 
-def make_mesh(devices=None, axis_name: str = "scenes") -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+def make_mesh(devices, axis_name: str = "scenes") -> Mesh:
+    """Build a 1-D scene mesh over an EXPLICIT device list.
+
+    `devices` is required: a `jax.devices()` default silently builds a 1-chip
+    mesh on single-accelerator hosts, and on this machine it can initialize
+    the axon tunnel backend as a side effect. Pass e.g. ``jax.devices("cpu")``
+    for the virtual mesh or the real chip list on multi-chip hardware.
+    """
+    if devices is None:
+        raise ValueError(
+            "make_mesh requires an explicit device list (e.g. jax.devices('cpu') "
+            "or your TPU slice); no implicit jax.devices() default."
+        )
     return Mesh(jnp.array(devices).reshape(-1) if hasattr(devices, "reshape")
                 else devices, axis_names=(axis_name,))
 

@@ -56,6 +56,7 @@ class StepEvents(NamedTuple):
     force_magnitude: jax.Array # [P]
     broadphase_overflow: jax.Array  # scalar int32 diagnostic
     unsupported_pairs: jax.Array    # scalar int32 — pairs with no NP kernel
+    ccd_overflow: jax.Array         # scalar int32 — CCD candidates dropped by caps
 
 
 def _match_previous(prev: Contacts, man: ManifoldBatch):
@@ -461,7 +462,9 @@ def step(state: SceneState, params: SimParams, hooks=None):
     if params.enable_ccd:
         from rapier_tpu.dynamics.ccd import clamp_motions
 
-        bodies = clamp_motions(bodies, colliders, params)
+        bodies, ccd_overflow = clamp_motions(bodies, colliders, params)
+    else:
+        ccd_overflow = jnp.int32(0)
     bodies = bodies.replace(pos=bodies.next_pos, rot=quat.normalize(bodies.next_rot))
 
     # ------------------------------------------------------------------
@@ -552,5 +555,6 @@ def step(state: SceneState, params: SimParams, hooks=None):
         force_magnitude=force_mag,
         broadphase_overflow=bp_overflow,
         unsupported_pairs=man.unsupported,
+        ccd_overflow=ccd_overflow,
     )
     return new_state, events

@@ -735,6 +735,9 @@ class PhysicsWorld:
                  collider_capacity: Optional[int] = None):
         self._pending_bodies: list[RigidBodyBuilder] = []
         self._pending_colliders: list[tuple[ColliderBuilder, int]] = []
+        # collider index -> build-time MassProperties (incl. mesh/hull mass
+        # and explicit `mass=` overrides) for _recompute_body_mass.
+        self._collider_smp_cache: dict[int, "mp.MassProperties"] = {}
         self._pending_joints: list[tuple[GenericJointBuilder, int, int]] = []
         # (joint, parent_body, child_body, kinematic)
         self._pending_mb_joints: list[tuple] = []
@@ -926,6 +929,7 @@ class PhysicsWorld:
                         cb.mass, smp.com, smp.principal_inertia * scale,
                         smp.principal_frame,
                     )
+                self._collider_smp_cache[i] = smp
                 body_parts[parent].append(
                     (smp, np.asarray(cb.translation, np.float64),
                      _as_quat(cb.rotation))
@@ -1349,8 +1353,22 @@ class PhysicsWorld:
                 continue
             if not bool(np.asarray(self.state.colliders.enabled[ci])):
                 continue
-            prm = np.asarray(self.state.colliders.shape_params[ci])
-            smp = mp.shape_mass_properties(int(cb.shape_type), prm, cb.density)
+            # Prefer the build-time MassProperties cache: for hull/mesh
+            # colliders shape_params hold table offsets (their mass comes
+            # from mesh_mass_properties at build), and the cache also bakes
+            # in any explicit `mass=` override.
+            smp = self._collider_smp_cache.get(ci)
+            if smp is None:
+                prm = np.asarray(self.state.colliders.shape_params[ci])
+                smp = mp.shape_mass_properties(
+                    int(cb.shape_type), prm, cb.density
+                )
+                if cb.mass is not None and smp.mass > 0:
+                    scale = cb.mass / smp.mass
+                    smp = mp.MassProperties(
+                        cb.mass, smp.com, smp.principal_inertia * scale,
+                        smp.principal_frame,
+                    )
             parts.append((smp, np.asarray(cb.translation, np.float64),
                           _as_quat(cb.rotation)))
         combined = mp.combine(parts)
@@ -1394,6 +1412,7 @@ class PhysicsWorld:
         self._collider_gen[i] += 1
         self._free_colliders.insert(0, i)
         self._collider_meta.pop(i, None)
+        self._collider_smp_cache.pop(i, None)
         if parent >= 0:
             self._recompute_body_mass(parent)
             if wake_up:
@@ -1414,6 +1433,21 @@ class PhysicsWorld:
             self._collider_gen[ci] += 1
             self._free_colliders.insert(0, ci)
             self._collider_meta.pop(ci, None)
+            self._collider_smp_cache.pop(ci, None)
+        # Disable impulse joints referencing this body (RigidBodySet::remove
+        # also removes attached joints) — otherwise the stale joint first
+        # pins the surviving partner to a disabled ghost, then silently
+        # rebinds to whatever body reuses this slot.
+        jset = self.state.joints
+        jb1 = np.asarray(jset.body1) if jset is not None else np.zeros(0, np.int32)
+        jb2 = np.asarray(jset.body2) if jset is not None else np.zeros(0, np.int32)
+        ref = (jb1 == i) | (jb2 == i)
+        if ref.any():
+            self.state = self.state.replace(joints=jset.replace(
+                enabled=np.where(ref, False, np.asarray(jset.enabled)),
+                body1=np.where(ref, -1, jb1).astype(np.int32),
+                body2=np.where(ref, -1, jb2).astype(np.int32),
+            ))
         b = self.state.bodies
         self._update_body(
             enabled=_at_set(b.enabled, i, False),
