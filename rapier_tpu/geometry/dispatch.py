@@ -2,9 +2,10 @@
 
 The analog of parry's `QueryDispatcher` + the reference narrow phase's
 per-pair loop (src/geometry/narrow_phase.rs:809-1150), recast as: run every
-analytic kernel on every pair lane (vectorized), select by type mask.  The
-per-kernel cost is elementwise VPU work, so computing all kernels and
-selecting is cheap; pair-type bucketing is a later optimization (SURVEY §7 M5).
+analytic kernel on every pair lane (vectorized), select by type mask.  Cheap
+kernels stay full-width (elementwise VPU work); expensive lane-last kernels
+(box-box SAT clip) run on census-capped compacted buckets of their own lanes
+(SURVEY §7 M5 pair-type bucketing).
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import jax.numpy as jnp
 
 from rapier_tpu.math import quat
 from rapier_tpu.geometry import narrowphase as nph
-from rapier_tpu.geometry.narrowphase_boxbox import cuboid_cuboid
+from rapier_tpu.geometry.narrowphase_boxbox import cuboid_cuboid_cl
 from rapier_tpu.types import BodyType, CoefficientCombineRule, ShapeType
 
 
@@ -103,7 +104,7 @@ _PAIR_KERNELS = {
     (ShapeType.BALL, ShapeType.CAPSULE): nph.ball_capsule,
     (ShapeType.CAPSULE, ShapeType.CAPSULE): nph.capsule_capsule,
     (ShapeType.CUBOID, ShapeType.CAPSULE): _swapped(nph.capsule_cuboid),
-    (ShapeType.CUBOID, ShapeType.CUBOID): cuboid_cuboid,
+    (ShapeType.CUBOID, ShapeType.CUBOID): cuboid_cuboid_cl,
 }
 assert all(k[0] <= k[1] for k in _PAIR_KERNELS), "registry keys must be canonical"
 
@@ -118,6 +119,62 @@ _HALFSPACE_CONVEX = (
 def _order_rank(t):
     """Canonical ordering rank: halfspace always goes to the B slot."""
     return jnp.where(t == ShapeType.HALFSPACE, 1000, t)
+
+
+# Expensive lane-last kernels run on a compacted BUCKET of just their own
+# lanes instead of all P (the box-box SAT clip at full width was ~35% of the
+# whole step on the mixed bench).  The bucket cap is census-derived:
+# `factor * instances-of-the-rarer-type` pair slots, rounded up — generous
+# (a collider rarely touches > 8 same-type neighbors within prediction);
+# overflow degrades to "no contact this step" for the dropped pairs and is
+# counted in ManifoldBatch.unsupported.  Scenes where the cap reaches P
+# (e.g. all-box pyramids) skip bucketing automatically.
+_BUCKET_PAIR_FACTOR = 8
+
+
+def _bucket_cap(ta, tb, counts, p):
+    if counts is None:
+        return p
+    ca = counts.get(int(ta), 0)
+    cb = counts.get(int(tb), 0)
+    est = ca if ta == tb else min(ca, cb)
+    if est >= (1 << 28):
+        return p
+    cap = -(-est * _BUCKET_PAIR_FACTOR // 64) * 64
+    return min(cap, p)
+
+
+def _run_bucketed(kern, mask, cap: int, TA, TB):
+    """Gather `mask` lanes into a [*, cap] bucket, run a lane-last kernel,
+    scatter the manifold back to P lanes.  Returns (manifold, overflow)."""
+    from rapier_tpu.utils.compaction import compact_indices
+
+    f32 = jnp.float32
+    p = mask.shape[0]
+    src, bvalid, overflow = compact_indices(mask, cap)
+    ids = jnp.arange(p)
+    oh = ((src[:, None] == ids[None, :]) & bvalid[:, None]).astype(f32)  # [C, P]
+
+    TAb = TA @ oh.T                       # [38, C]
+    TBb = TB @ oh.T
+    man_b = kern(TAb[0:3], TAb[3:7], TAb[7:19], TBb[0:3], TBb[3:7], TBb[7:19])
+
+    covered = (bvalid.astype(f32) @ oh) > 0                    # [P]
+    normal = man_b.normal @ oh                                 # [3, P]
+    unit_y = jnp.zeros((3, p)).at[1].set(1.0)
+    normal = jnp.where(covered[None], normal, unit_y)
+    point = (man_b.point.reshape(12, cap) @ oh).reshape(4, 3, p)
+    dist = jnp.where(covered[None], man_b.dist @ oh, 1e10)
+    valid = ((man_b.valid.astype(f32) @ oh) > 0) & covered[None]
+    # int32 feature ids survive the f32 route via 16-bit halves (edge fids
+    # carry a 1<<28 tag that f32 cannot represent exactly in one piece).
+    flo = (man_b.fid & 0xFFFF).astype(f32) @ oh
+    fhi = ((man_b.fid >> 16) & 0xFFFF).astype(f32) @ oh
+    fid = flo.astype(jnp.int32) | (fhi.astype(jnp.int32) << 16)
+    fid = jnp.where(covered[None], fid, -1)
+    man = nph.Manifold(normal=normal, point=point, dist=dist, fid=fid,
+                       valid=valid)
+    return man, overflow
 
 
 def _soft_ccd_cols(bodies, colliders, safe_p, parent, dt):
@@ -279,11 +336,23 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
     def vlane(kern):
         return jax.vmap(kern, in_axes=-1, out_axes=-1)
 
+    bucket_dropped = jnp.int32(0)
     for (ta, tb), kern in _PAIR_KERNELS.items():
         if not _pair_possible(ta, tb):
             continue
         mask = pair_valid & (tA == ta) & (tB == tb)
-        man = vlane(kern)(pA, rA, prmA, pB, rB, prmB)
+        if getattr(kern, "lane_last", False):
+            # Kernel written component-leading over the lane axis — call
+            # directly (no per-lane vmap), on a census-capped bucket of its
+            # own lanes when that is narrower than the full pair buffer.
+            cap = _bucket_cap(ta, tb, _counts, P)
+            if cap < P:
+                man, dropped = _run_bucketed(kern, mask, cap, TA, TB)
+                bucket_dropped = bucket_dropped + dropped
+            else:
+                man = kern(pA, rA, prmA, pB, rB, prmB)
+        else:
+            man = vlane(kern)(pA, rA, prmA, pB, rB, prmB)
         merge(mask, man)
 
     # Generic convex-convex fallback (cylinder/cone/round shapes vs anything
@@ -425,7 +494,8 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
         point_valid=pvalid & pair_valid[None, :],
         point_active=point_active & pair_valid[None, :],
         valid=pair_valid & matched,
-        unsupported=jnp.sum((pair_valid & ~matched).astype(jnp.int32)),
+        unsupported=jnp.sum((pair_valid & ~matched).astype(jnp.int32))
+        + bucket_dropped,
         solver_pair=solver_pair,
         touching=touching,
         friction=friction, restitution=restitution,

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from rapier_tpu.math import quat
+from rapier_tpu.math.quat import cross_cl, dot_cl
 from rapier_tpu.geometry.narrowphase import (
     MAXP,
     Manifold,
@@ -145,6 +146,363 @@ def _reduce_candidates(pts_uvd, valid):
             keep = keep.at[a].set(keep[a] & (sel[a] != sel[b]))
         keep = keep.at[a].set(keep[a] & out_valid[a])
     return out_pts, keep
+
+
+# ---------------------------------------------------------------------------
+# Lane-last (component-leading) kernel — the dispatch path.
+#
+# The per-lane kernel below, vmapped over [pairs] then [scenes], materializes
+# [B, P, 3, 3] / [B, P, 12, 12] intermediates whose trailing dims TPU
+# tile-pads to (8, 128) — measured ~36 ms of a 106 ms step at 512 scenes.
+# This variant keeps the LANE axis last everywhere ([3, P] vectors,
+# [3, 3, P] matrices, [12, P] candidate rows) so every intermediate is
+# tile-friendly.  Semantics identical to `cuboid_cuboid` (tested).
+# ---------------------------------------------------------------------------
+
+
+def _closest_segment_segment_cl(p1, q1, p2, q2):
+    """_closest_segment_segment for [3, P] endpoints (Ericson 5.1.9)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = dot_cl(d1, d1)
+    e = dot_cl(d2, d2)
+    f = dot_cl(d2, r)
+    c = dot_cl(d1, r)
+    b = dot_cl(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(
+        denom > 1e-12,
+        jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, 1e-12)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(
+        t != t_cl,
+        jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0), s)
+    s = jnp.where(a <= 1e-12, 0.0, s)
+    t_cl = jnp.where(e <= 1e-12, 0.0, t_cl)
+    c1 = p1 + d1 * s[None]
+    c2 = p2 + d2 * t_cl[None]
+    return s, t_cl, c1, c2
+
+
+def _face_candidates_cl(verts_uvd, hu, hv):
+    """_face_candidates, lane-last: verts_uvd [4, 3, P], hu/hv [P] ->
+    (pts [12, 3, P], valid [12, P])."""
+    v0 = verts_uvd                                  # [4, 3, P]
+    v1 = jnp.roll(verts_uvd, -1, axis=0)
+    d = v1 - v0
+
+    def axis_window(p0, dp, h):
+        # p0, dp: [4, P]; h: [P] -> windows [4, P]
+        tiny = jnp.abs(dp) < 1e-12
+        safe = jnp.where(tiny, 1.0, dp)
+        ta = (-h[None] - p0) / safe
+        tb = (h[None] - p0) / safe
+        lo = jnp.minimum(ta, tb)
+        hi = jnp.maximum(ta, tb)
+        inside = jnp.abs(p0) <= h[None]
+        lo = jnp.where(tiny, jnp.where(inside, -_BIG, _BIG), lo)
+        hi = jnp.where(tiny, jnp.where(inside, _BIG, -_BIG), hi)
+        return lo, hi
+
+    lo_u, hi_u = axis_window(v0[:, 0], d[:, 0], hu)
+    lo_v, hi_v = axis_window(v0[:, 1], d[:, 1], hv)
+    t0 = jnp.maximum(jnp.maximum(lo_u, lo_v), 0.0)   # [4, P]
+    t1 = jnp.minimum(jnp.minimum(hi_u, hi_v), 1.0)
+    hits = t0 <= t1
+    pa = v0 + d * t0[:, None, :]                     # [4, 3, P]
+    pb = v0 + d * t1[:, None, :]
+
+    # Rect corners inside the quad.
+    csign = jnp.array([[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]])
+    # corners[c, 0] = csign[c,0]*hu, corners[c, 1] = csign[c,1]*hv: [4c, 2, P]
+    corners = jnp.stack([
+        csign[:, 0][:, None] * hu[None, :],
+        csign[:, 1][:, None] * hv[None, :],
+    ], axis=1)
+    # rel[e, c, xy, P] = corners[c, xy] - v0[e, xy]
+    rel = corners[None, :, :, :] - v0[:, None, :2, :]
+    cross = d[:, None, 0, :] * rel[:, :, 1, :] - d[:, None, 1, :] * rel[:, :, 0, :]
+    inside = jnp.all(cross >= -1e-9, axis=0) | jnp.all(cross <= 1e-9, axis=0)
+
+    # Affine depth over the face from two edge vectors at vertex 0.
+    e0, e1 = d[0], -d[3]                             # [3, P]
+    det = e0[0] * e1[1] - e0[1] * e1[0]
+    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    gu = (e0[2] * e1[1] - e1[2] * e0[1]) / safe_det   # [P]
+    gv = (e1[2] * e0[0] - e0[2] * e1[0]) / safe_det
+    c_rel_u = corners[:, 0, :] - v0[0, 0, :][None]    # [4, P]
+    c_rel_v = corners[:, 1, :] - v0[0, 1, :][None]
+    c_depth = v0[0, 2, :][None] + c_rel_u * gu[None] + c_rel_v * gv[None]
+    c_uvd = jnp.concatenate(
+        [corners, c_depth[:, None, :]], axis=1)       # [4, 3, P]
+
+    pts = jnp.concatenate([pa, pb, c_uvd], axis=0)    # [12, 3, P]
+    valid = jnp.concatenate([hits, hits, inside], axis=0)  # [12, P]
+    return pts, valid
+
+
+def _reduce_candidates_cl(pts_uvd, valid):
+    """_reduce_candidates, lane-last: pts_uvd [12, 3, P], valid [12, P] ->
+    (pts [4, 3, P], keep [4, P])."""
+    n = pts_uvd.shape[0]
+    p = pts_uvd.shape[-1]
+    k = jnp.arange(n)
+
+    du = pts_uvd[:, None, 0, :] - pts_uvd[None, :, 0, :]  # [12, 12, P]
+    dv = pts_uvd[:, None, 1, :] - pts_uvd[None, :, 1, :]
+    d2 = du * du + dv * dv
+    dup = (
+        (d2 < 1e-10) & valid[None, :, :]
+        & (k[None, :] < k[:, None])[:, :, None]
+    )
+    valid = valid & ~jnp.any(dup, axis=1)
+
+    iota = jnp.arange(n)[:, None]                     # [12, 1]
+
+    def pick(i):
+        # i: [P] candidate index per lane -> (point [3, P], valid [P]).
+        oh = (iota == i[None, :]).astype(pts_uvd.dtype)         # [12, P]
+        pt = jnp.sum(oh[:, None, :] * pts_uvd, axis=0)          # [3, P]
+        ok = jnp.sum(oh * valid.astype(pts_uvd.dtype), axis=0) > 0
+        return pt, ok
+
+    depth = jnp.where(valid, pts_uvd[:, 2, :], _BIG)
+    i0 = jnp.argmin(depth, axis=0)
+    r0, v0 = pick(i0)
+    p0u, p0v = r0[0], r0[1]
+
+    dd = (pts_uvd[:, 0, :] - p0u[None]) ** 2 + (pts_uvd[:, 1, :] - p0v[None]) ** 2
+    i1 = jnp.argmax(jnp.where(valid, dd, -_BIG), axis=0)
+    r1, v1 = pick(i1)
+
+    base_u = r1[0] - p0u
+    base_v = r1[1] - p0v
+    side = (pts_uvd[:, 0, :] - p0u[None]) * (-base_v[None]) \
+        + (pts_uvd[:, 1, :] - p0v[None]) * base_u[None]
+    i2 = jnp.argmax(jnp.where(valid, side, -_BIG), axis=0)
+    i3 = jnp.argmin(jnp.where(valid, side, _BIG), axis=0)
+    r2, v2 = pick(i2)
+    r3, v3 = pick(i3)
+
+    sel = jnp.stack([i0, i1, i2, i3])                 # [4, P]
+    out_pts = jnp.stack([r0, r1, r2, r3])             # [4, 3, P]
+    out_valid = jnp.stack([v0, v1, v2, v3])           # [4, P]
+    keep_rows = []
+    for a in range(MAXP):
+        ka = out_valid[a]
+        for b in range(a):
+            ka = ka & (sel[a] != sel[b])
+        keep_rows.append(ka)
+    return out_pts, jnp.stack(keep_rows)
+
+
+def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
+    """Lane-last cuboid-cuboid SAT (see module docstring).  Inputs [d, P]:
+    pA/pB [3, P], rA/rB [4, P], prmA/prmB [12, P].  Outputs a Manifold with
+    lane-last fields (the shape the dispatcher's merge expects)."""
+    P = pA.shape[-1]
+    hA = prmA[0:3]                                   # [3, P]
+    hB = prmB[0:3]
+    mA = quat.to_matrix_cl(rA)                       # [3, 3, P]
+    mB = quat.to_matrix_cl(rB)
+
+    # R = A^T B, t = A^T (pB - pA); everything [3, 3, P] / [3, P].
+    dp = pB - pA
+    R = jnp.einsum("kip,kjp->ijp", mA, mB)
+    t = jnp.einsum("kip,kp->ip", mA, dp)
+    absR = jnp.abs(R) + 1e-6
+
+    # Face axes.
+    sep_a = jnp.abs(t) - (hA + jnp.einsum("ijp,jp->ip", absR, hB))   # [3, P]
+    tb_ = jnp.einsum("ip,ijp->jp", t, R)
+    sep_b = jnp.abs(tb_) - (jnp.einsum("ip,ijp->jp", hA, absR) + hB)
+    best_a = jnp.argmax(sep_a, axis=0)               # [P]
+    best_b = jnp.argmax(sep_b, axis=0)
+    sep_a_best = jnp.max(sep_a, axis=0)
+    sep_b_best = jnp.max(sep_b, axis=0)
+
+    # Edge axes (closed form, rolled indices).
+    r1i = jnp.array((1, 2, 0))
+    r2i = jnp.array((2, 0, 1))
+    hA1, hA2 = hA[r1i], hA[r2i]                      # [3, P]
+    hB1, hB2 = hB[r1i], hB[r2i]
+    absR_r1, absR_r2 = absR[r1i], absR[r2i]          # [3, 3, P]
+    absR_c1, absR_c2 = absR[:, r1i], absR[:, r2i]
+    R_r1, R_r2 = R[r1i], R[r2i]
+    t1r, t2r = t[r1i], t[r2i]
+
+    ra = hA1[:, None, :] * absR_r2 + hA2[:, None, :] * absR_r1   # [3, 3, P]
+    rb = hB1[None, :, :] * absR_c2 + hB2[None, :, :] * absR_c1
+    tl = t2r[:, None, :] * R_r1 - t1r[:, None, :] * R_r2
+    length = jnp.sqrt(jnp.maximum(1.0 - R * R, 1e-12))
+    edge_sep = (jnp.abs(tl) - ra - rb) / length
+    edge_sep = jnp.where(length < 1e-3, -_BIG, edge_sep)
+
+    scale = jnp.minimum(jnp.min(hA, axis=0), jnp.min(hB, axis=0))  # [P]
+    e_flat = edge_sep.reshape(9, P)
+    best_e = jnp.argmax(e_flat, axis=0)              # [P]
+    sep_e_best = jnp.max(e_flat, axis=0)
+
+    face_best = jnp.maximum(sep_a_best, sep_b_best)
+    use_edge = sep_e_best > face_best + _EDGE_BIAS_ABS * scale     # [P]
+    use_b_face = sep_b_best > sep_a_best + _REF_FACE_BIAS_ABS * scale
+
+    # ===== Face-face manifold (selected reference box only) =====
+    ub = use_b_face[None, :]
+    h_ref = jnp.where(ub, hB, hA)                    # [3, P]
+    h_inc = jnp.where(ub, hA, hB)
+    RT = jnp.transpose(R, (1, 0, 2))
+    R_ri = jnp.where(ub[None], RT, R)                # [3, 3, P]
+    t_b = -jnp.einsum("ip,ijp->jp", t, R)            # -(R^T t)
+    t_ri = jnp.where(ub, t_b, t)
+    axis = jnp.where(use_b_face, best_b, best_a)     # [P]
+
+    ax_iota = jnp.arange(3)[:, None]                 # [3, 1]
+    one_hot = (ax_iota == axis[None, :]).astype(jnp.float32)       # [3, P]
+    t_ax = one_hot[0] * t_ri[0] + one_hot[1] * t_ri[1] + one_hot[2] * t_ri[2]
+    sgn = jnp.where(t_ax >= 0, 1.0, -1.0)
+    n_ref = one_hot * sgn[None]                      # [3, P]
+
+    # Incident face: incident axis most anti-parallel to n_ref.
+    d_inc = jnp.einsum("ip,ijp->jp", n_ref, R_ri)    # [3, P]
+    inc_axis = jnp.argmax(jnp.abs(d_inc), axis=0)
+    inc_oh = (ax_iota == inc_axis[None, :]).astype(jnp.float32)
+    d_sel = inc_oh[0] * d_inc[0] + inc_oh[1] * d_inc[1] + inc_oh[2] * d_inc[2]
+    inc_sgn = -jnp.sign(d_sel)
+    inc_n_local = inc_oh * inc_sgn[None]
+
+    u_ax = (inc_axis + 1) % 3
+    v_ax = (inc_axis + 2) % 3
+    eu = (ax_iota == u_ax[None, :]).astype(jnp.float32)            # [3, P]
+    ev = (ax_iota == v_ax[None, :]).astype(jnp.float32)
+    hu_i = eu[0] * h_inc[0] + eu[1] * h_inc[1] + eu[2] * h_inc[2]  # [P]
+    hv_i = ev[0] * h_inc[0] + ev[1] * h_inc[1] + ev[2] * h_inc[2]
+    h_on_axis = inc_oh[0] * h_inc[0] + inc_oh[1] * h_inc[1] + inc_oh[2] * h_inc[2]
+    center_l = inc_n_local * h_on_axis[None]         # [3, P]
+    corners_l = jnp.stack([
+        center_l + eu * hu_i[None] + ev * hv_i[None],
+        center_l - eu * hu_i[None] + ev * hv_i[None],
+        center_l - eu * hu_i[None] - ev * hv_i[None],
+        center_l + eu * hu_i[None] - ev * hv_i[None],
+    ])                                               # [4, 3, P]
+    corners_r = (
+        jnp.einsum("ijp,cjp->cip", R_ri, corners_l) + t_ri[None]
+    )                                                # [4, 3, P] ref frame
+
+    ru = (axis + 1) % 3
+    rv = (axis + 2) % 3
+    pick_u = (ax_iota == ru[None, :]).astype(jnp.float32)          # [3, P]
+    pick_v = (ax_iota == rv[None, :]).astype(jnp.float32)
+    h_face = one_hot[0] * h_ref[0] + one_hot[1] * h_ref[1] + one_hot[2] * h_ref[2]
+    u = jnp.einsum("cip,ip->cp", corners_r, pick_u)  # [4, P]
+    v = jnp.einsum("cip,ip->cp", corners_r, pick_v)
+    depth = jnp.einsum("cip,ip->cp", corners_r, n_ref) - h_face[None]
+    verts_uvd = jnp.stack([u, v, depth], axis=1)     # [4, 3, P]
+
+    hu_r = pick_u[0] * h_ref[0] + pick_u[1] * h_ref[1] + pick_u[2] * h_ref[2]
+    hv_r = pick_v[0] * h_ref[0] + pick_v[1] * h_ref[1] + pick_v[2] * h_ref[2]
+    cand, cand_valid = _face_candidates_cl(verts_uvd, hu_r, hv_r)
+    pts4, keep_face = _reduce_candidates_cl(cand, cand_valid)      # [4,3,P],[4,P]
+
+    pts_ref = (
+        pts4[:, 0:1, :] * pick_u[None]
+        + pts4[:, 1:2, :] * pick_v[None]
+        + (h_face[None, None] + pts4[:, 2:3, :]) * n_ref[None]
+    )                                                # [4, 3, P]
+    dist_face = pts4[:, 2, :]                        # [4, P]
+    mid_ref = pts_ref - 0.5 * dist_face[:, None, :] * n_ref[None]
+
+    m_ref = jnp.where(ub[None], mB, mA)              # [3, 3, P]
+    p_ref = jnp.where(ub, pB, pA)
+    n_w_ref = jnp.einsum("ijp,jp->ip", m_ref, n_ref)
+    n_face = jnp.where(ub, -n_w_ref, n_w_ref)
+    mid_face = (
+        jnp.einsum("ijp,cjp->cip", m_ref, mid_ref) + p_ref[None]
+    )                                                # [4, 3, P]
+
+    # Quadrant feature ids around the manifold centroid.
+    ex = jnp.zeros((3, P)).at[0].set(1.0)
+    ey = jnp.zeros((3, P)).at[1].set(1.0)
+    t1f = cross_cl(n_face, ex)
+    t1f_alt = cross_cl(n_face, ey)
+    t1f = jnp.where((dot_cl(t1f, t1f) < 1e-6)[None], t1f_alt, t1f)
+    t1f = t1f / jnp.maximum(jnp.sqrt(dot_cl(t1f, t1f))[None], 1e-9)
+    t2f = cross_cl(n_face, t1f)
+    keep_f = keep_face.astype(jnp.float32)
+    nkeep = jnp.maximum(keep_f[0] + keep_f[1] + keep_f[2] + keep_f[3], 1.0)
+    centroid = jnp.sum(mid_face * keep_f[:, None, :], axis=0) / nkeep[None]
+    rel_c = mid_face - centroid[None]                # [4, 3, P]
+    du_f = jnp.einsum("cip,ip->cp", rel_c, t1f)      # [4, P]
+    dv_f = jnp.einsum("cip,ip->cp", rel_c, t2f)
+    fid_face = (
+        (du_f > 0).astype(jnp.int32)
+        + 2 * (dv_f > 0).astype(jnp.int32)
+        + 4 * (jnp.abs(du_f) > jnp.abs(dv_f)).astype(jnp.int32)
+    )
+
+    # ===== Edge-edge manifold =====
+    ei = best_e // 3
+    ej = best_e % 3
+    e_iota = jnp.arange(9)[:, None]                  # [9, 1]
+    oh_e = (e_iota == best_e[None, :]).astype(jnp.float32)         # [9, P]
+    R_r1_f = R_r1.reshape(9, P)
+    R_r2_f = R_r2.reshape(9, P)
+    len_f = length.reshape(9, P)
+    Lsel_r1 = jnp.sum(oh_e * R_r1_f, axis=0)         # [P]
+    Lsel_r2 = jnp.sum(oh_e * R_r2_f, axis=0)
+    Lsel_len = jnp.sum(oh_e * len_f, axis=0)
+    oh_i1 = (ax_iota == ((ei + 1) % 3)[None, :]).astype(jnp.float32)
+    oh_i2 = (ax_iota == ((ei + 2) % 3)[None, :]).astype(jnp.float32)
+    L = (oh_i1 * (-Lsel_r2)[None] + oh_i2 * Lsel_r1[None]) \
+        / jnp.maximum(Lsel_len, 1e-12)[None]          # [3, P]
+    L = jnp.where((dot_cl(L, t) < 0)[None], -L, L)
+
+    sgnA = jnp.sign(jnp.where(jnp.abs(L) < 1e-12, 1.0, L))
+    onehot_i = (ax_iota == ei[None, :]).astype(jnp.float32)
+    cornerA = sgnA * hA * (1.0 - onehot_i)
+    edgeA_a = cornerA - onehot_i * hA
+    edgeA_b = cornerA + onehot_i * hA
+
+    L_b = jnp.einsum("ip,ijp->jp", L, R)             # R^T L
+    sgnB = jnp.sign(jnp.where(jnp.abs(L_b) < 1e-12, 1.0, -L_b))
+    onehot_j = (ax_iota == ej[None, :]).astype(jnp.float32)
+    cornerB_l = sgnB * hB * (1.0 - onehot_j)
+    edgeB_a_l = cornerB_l - onehot_j * hB
+    edgeB_b_l = cornerB_l + onehot_j * hB
+    edgeB_a = jnp.einsum("ijp,jp->ip", R, edgeB_a_l) + t
+    edgeB_b = jnp.einsum("ijp,jp->ip", R, edgeB_b_l) + t
+
+    _, _, cA_f, cB_f = _closest_segment_segment_cl(
+        edgeA_a, edgeA_b, edgeB_a, edgeB_b)
+    mid_edge_a = 0.5 * (cA_f + cB_f)
+    n_edge_w = jnp.einsum("ijp,jp->ip", mA, L)
+    mid_edge_w = jnp.einsum("ijp,jp->ip", mA, mid_edge_a) + pA
+    fid_edge = jnp.int32(1 << 28) + best_e.astype(jnp.int32)       # [P]
+
+    # ===== Select =====
+    ue = use_edge[None, :]
+    normal = jnp.where(ue, n_edge_w, n_face)         # [3, P]
+    pts = jnp.where(
+        use_edge[None, None, :],
+        jnp.broadcast_to(mid_edge_w[None], (MAXP, 3, P)), mid_face)
+    first = (jnp.arange(MAXP) == 0)[:, None]         # [4, 1]
+    dst = jnp.where(
+        ue,
+        jnp.where(first, sep_e_best[None], _BIG),
+        jnp.where(keep_face, dist_face, _BIG),
+    )
+    fids = jnp.where(
+        ue,
+        jnp.where(first, fid_edge[None], -1),
+        fid_face,
+    )
+    valid = jnp.where(ue, first & jnp.ones((1, P), bool), keep_face)
+    return Manifold(normal=normal, point=pts, dist=dst, fid=fids, valid=valid)
+
+
+cuboid_cuboid_cl.lane_last = True
 
 
 def cuboid_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
