@@ -34,7 +34,7 @@ BASELINE_SINGLE_SCENE_STEPS_PER_SEC = 5000.0
 
 def main():
     mode = os.environ.get("BENCH_MODE", "vmapped")
-    n_scenes = int(os.environ.get("BENCH_SCENES", "2048"))
+    n_scenes = int(os.environ.get("BENCH_SCENES", "4096"))
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
     settle_steps = int(os.environ.get("BENCH_SETTLE", "150"))
 
@@ -63,6 +63,12 @@ def main():
     else:
         # ~100 bodies: 4 layers x 5x5 grid + ground.
         world = mixed_primitives_world(num_layers=4, grid=5, max_pairs=512)
+        # Solver-lane compaction: the scene peaks at ~182 touching pairs
+        # (1.4x headroom); overflow would surface in StepEvents and is
+        # asserted zero by tests/test_solver_compaction.py on this scene.
+        world.params = world.params.replace(
+            max_solver_pairs=int(os.environ.get("BENCH_SOLVER_PAIRS", "256"))
+        )
         state0 = world.build()      # numpy leaves: no device transfers yet
         batch = jax.device_put(
             jax.tree.map(jnp.asarray, replicate_scene(state0, n_scenes)),

@@ -88,21 +88,51 @@ class ContactConstraints(NamedTuple):
 
 
 def _onehot(idx, n):
-    """[K] int -> [K, n] f32 selection matrix.  Gathers/scatter-adds become
-    matmuls on this: TPU computed-index scatters serialize, the MXU doesn't.
-    broadcasted_iota (not arange) so this also lowers inside Pallas kernels."""
-    ids = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
-    return (idx[:, None] == ids).astype(jnp.float32)
+    """Lane one-hot selection matrix: [K] int -> [K, n] f32, or scene-folded
+    [S, P] int -> [S, P, n].  Gathers/scatter-adds become matmuls on this:
+    TPU computed-index scatters serialize, the MXU doesn't.  broadcasted_iota
+    (not arange) so this also lowers inside Pallas kernels."""
+    if idx.ndim == 1:
+        ids = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+        return (idx[:, None] == ids).astype(jnp.float32)
+    s, p = idx.shape
+    ids = jax.lax.broadcasted_iota(jnp.int32, (s, p, n), 2)
+    return (idx[:, :, None] == ids).astype(jnp.float32)
 
 
 def _gather_cl(table, oh):
-    """Gather [d, N] table rows per lane via one-hot: -> [d, P]."""
-    return table @ oh.T
+    """Gather table rows per lane via one-hot.
+
+    Plain: table [d, N] @ oh [P, N] -> [d, P].
+    Scene-folded (S scenes per Pallas kernel instance, pallas_sweep.py):
+    table [S, d, N], oh [S, P, N] -> [d, S, P] via a leading-batch
+    dot_general (the only batched-matmul form Mosaic accepts), unpacked to
+    component-leading with static row slices."""
+    if oh.ndim == 2:
+        return table @ oh.T
+    g = jax.lax.dot_general(
+        table, oh,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [S, d, P]
+    return jnp.stack([g[:, i, :] + 0.0 for i in range(g.shape[1])], axis=0)
 
 
 def _scatter_add_cl(table, oh, values):
-    """table [d, N] += values [d, P] routed by onehot oh [P, N]."""
-    return table + values @ oh
+    """table += values routed by one-hot.
+
+    Plain: table [d, N] += values [d, P] @ oh [P, N].
+    Scene-folded: table [S, d, N] += batched-dot(values [d, S, P] repacked to
+    [S, d, P], oh [S, P, N])."""
+    if oh.ndim == 2:
+        return table + values @ oh
+    vs = jnp.stack([values[i] + 0.0 for i in range(values.shape[0])], axis=1)
+    upd = jax.lax.dot_general(
+        vs, oh,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [S, d, N]
+    return table + upd
 
 
 def compute_tangent_directions(dir1, linvel1, linvel2):
@@ -148,8 +178,12 @@ def generate_from(b1, b2, valid, color, normal, point, point_active, dist,
     """Core of `generate`, taking resolved solver-body endpoints — callable
     from inside the Pallas sweep kernel (pallas_sweep.py) where the manifold
     arrives as a packed row matrix.  Mosaic-safe: every small-axis reduction
-    is an explicit unrolled sum."""
-    p = b1.shape[0]
+    is an explicit unrolled sum.
+
+    Shape-polymorphic over the scene-folded layout: lane arrays may be
+    [S, P] instead of [P] (then vectors are [3, S, P], solver-body tables
+    [S, d, N+1]); all elementwise math broadcasts unchanged."""
+    lane_shape = b1.shape
 
     if oh1 is None:
         oh1 = _onehot(b1, n_bodies + 1)
@@ -167,7 +201,12 @@ def generate_from(b1, b2, valid, color, normal, point, point_active, dist,
     im2 = _gather_cl(sb.im, oh2)
     # Per-lane world inverse inertia as 9 gathered component rows
     # [3][3] of [P] (explicit unroll: Mosaic-safe, and identical XLA code).
-    ii_flat = sb.ii.reshape(9, sb.ii.shape[-1])
+    # Plain layout stores ii [3, 3, N+1]; the folded kernel passes [S, 9, N+1].
+    ii_flat = (
+        sb.ii.reshape(9, sb.ii.shape[-1])
+        if sb.ii.ndim == 3 and sb.ii.shape[0] == 3 and sb.ii.shape[1] == 3
+        else sb.ii
+    )
     ii1_r = _gather_cl(ii_flat, oh1)               # [9, P]
     ii2_r = _gather_cl(ii_flat, oh2)
     ii1 = [[ii1_r[3 * a + b] for b in range(3)] for a in range(3)]
@@ -276,8 +315,8 @@ def generate_from(b1, b2, valid, color, normal, point, point_active, dist,
         dot_cl(twist_ii1, dir1) + dot_cl(twist_ii2, -dir1), 1e-12
     )
 
-    z4 = jnp.zeros((4, p))
-    z2 = jnp.zeros((2, p))
+    z4 = jnp.zeros((4,) + lane_shape)
+    z2 = jnp.zeros((2,) + lane_shape)
     return ContactConstraints(
         b1=b1, b2=b2, valid=valid, color=color,
         dir1=dir1, tangent1=tangent1, im1=im1, im2=im2,
@@ -296,7 +335,8 @@ def generate_from(b1, b2, valid, color, normal, point, point_active, dist,
         local_fc1=local_fc1, local_fc2=local_fc2,
         twist_ii_dir1=twist_ii1, twist_ii_dir2=twist_ii2,
         twist_r=twist_r, twist_dists=twist_dists,
-        twist_impulse=jnp.zeros((p,)), twist_impulse_acc=jnp.zeros((p,)),
+        twist_impulse=jnp.zeros(lane_shape),
+        twist_impulse_acc=jnp.zeros(lane_shape),
         cfm_factor=jnp.float32(1.0),
     )
 
@@ -390,8 +430,8 @@ def warmstart(c: ContactConstraints, sb: SolverBodies, oh1, oh2) -> SolverBodies
     dw1 = dw1 + c.twist_ii_dir1 * wi[None]
     dw2 = dw2 + c.twist_ii_dir2 * wi[None]
 
-    v_lin = sb.v_lin + dv1 @ oh1 + dv2 @ oh2
-    v_ang = sb.v_ang + dw1 @ oh1 + dw2 @ oh2
+    v_lin = _scatter_add_cl(_scatter_add_cl(sb.v_lin, oh1, dv1), oh2, dv2)
+    v_ang = _scatter_add_cl(_scatter_add_cl(sb.v_ang, oh1, dw1), oh2, dw2)
     return sb._replace(v_lin=v_lin, v_ang=v_ang)
 
 
@@ -491,8 +531,10 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
 
     # Matmul scatter of velocity deltas (conflict-free within a color).
     m = fmask[None]
-    v_lin = sb.v_lin + ((v1 - v1_0) * m) @ oh1 + ((v2 - v2_0) * m) @ oh2
-    v_ang = sb.v_ang + ((w1 - w1_0) * m) @ oh1 + ((w2 - w2_0) * m) @ oh2
+    v_lin = _scatter_add_cl(
+        _scatter_add_cl(sb.v_lin, oh1, (v1 - v1_0) * m), oh2, (v2 - v2_0) * m)
+    v_ang = _scatter_add_cl(
+        _scatter_add_cl(sb.v_ang, oh1, (w1 - w1_0) * m), oh2, (w2 - w2_0) * m)
 
     c = c._replace(
         impulse=jnp.where(mask[None], impulses, c.impulse),

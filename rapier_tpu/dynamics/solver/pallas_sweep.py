@@ -1,17 +1,32 @@
-"""VMEM-resident contact solve (generate + TGS-soft sweep) as ONE Pallas
-kernel per scene.
+"""VMEM-resident contact solve (generate + TGS-soft sweep) as Pallas kernels.
 
 Why: the pure-JAX solver runs ``substeps x (pgs + stabilization) x colors``
 Gauss-Seidel passes; under XLA each pass is a separate while-loop body that
 re-reads the full constraint set from HBM (~400 KB/scene at P=512, 60+
 passes -> ~25 MB of HBM traffic per scene-step — the round-1 bottleneck;
-BASELINE.md).  This kernel streams each scene's MANIFOLD rows (~40 x P)
-into VMEM once, builds the constraints in-VMEM (contact_constraints.generate
-would otherwise round-trip ~160 x P rows through HBM), and runs the entire
-substep/color loop on-chip.  It reuses the exact `contact_constraints`
+BASELINE.md).  These kernels stream each scene's MANIFOLD rows (~40 x P)
+into VMEM once, build the constraints in-VMEM (contact_constraints.generate
+would otherwise round-trip ~160 x P rows through HBM), and run the entire
+substep/color loop on-chip.  They reuse the exact `contact_constraints`
 generate/update/warmstart/solve_color functions (pure jnp) inside the kernel
 so the semantics stay identical to the JAX fallback path (reference behavior:
 src/dynamics/solver/velocity_solver.rs:151-211).
+
+Two kernels share that body:
+
+- `_kernel` — one scene per launch, rank-2 [d, P] lanes.  Used for unbatched
+  (single-scene) steps.
+- `_kernel_folded` — FOLD_S = 8 scenes per grid instance, lanes [S, P] with
+  the scene axis on the sublane dimension.  Used for vmapped scene batches
+  via a `custom_vmap` rule on the solve: the per-scene kernel under plain
+  vmap runs B sequential grid instances of tiny [3, P]-class VPU ops and
+  [3, N] one-hot matmuls — latency-bound (measured ~61 ms of a 93 ms step at
+  512 scenes).  Folding makes every instruction do 8 scenes of work: the
+  gathers/scatters become leading-batch dot_generals ([S, d, N] tables x
+  [S, P, N] one-hots — the only batched-matmul form Mosaic accepts).
+  S is EXACTLY 8 (the native sublane count): at S in {1, 2, 4} Mosaic
+  assigns replicated (-1) sublane offsets to loop-carried [S, P] arrays and
+  aborts in indicesToVmemOffset ("Check failed: d >> 32 == 0 (-1 vs 0)").
 
 Mosaic survival rules baked into the shared solver code (hard-won; see the
 bisect notes in the round-2 history):
@@ -23,6 +38,8 @@ bisect notes in the round-2 history):
   after loops (rank-2 [k:k+1] range slices instead)
 - scalars ride an (8, 128) VMEM tile so `jax.vmap` batching works (SMEM
   blocks fail the (8, 128)-divisibility check under the vmap rule)
+- the folded kernel needs `vmem_limit_bytes` raised past the 16 MiB default
+  scoped-vmem limit (measured 16.05 MiB demand already at P=128, N1=64)
 """
 
 from __future__ import annotations
@@ -35,20 +52,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rapier_tpu.dynamics.solver import contact_constraints as cc
-
-
-def _integrate_linearized_rank2(q, w, dt):
-    """quat.integrate_linearized_cl with every intermediate kept rank-2."""
-    h = dt * 0.5
-    hx, hy, hz = w[0:1] * h, w[1:2] * h, w[2:3] * h
-    qx, qy, qz, qw = q[0:1], q[1:2], q[2:3], q[3:4]
-    rx = qx + hx * qw + hy * qz - hz * qy
-    ry = qy - hx * qz + hy * qw + hz * qx
-    rz = qz + hx * qy - hy * qx + hz * qw
-    rw = qw - hx * qx - hy * qy - hz * qz
-    n2 = rx * rx + ry * ry + rz * rz + rw * rw
-    inv = 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-24))
-    return jnp.concatenate([rx * inv, ry * inv, rz * inv, rw * inv], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -66,6 +69,30 @@ for _name, _rows in _MFIELDS:
     _MOFF[_name] = (_D, _rows)
     _D += _rows
 D_MAN = _D
+
+FOLD_S = 8  # scenes per folded grid instance == native sublane count
+
+_SCALAR_FIELDS = ("dt_sub", "inv_dt_sub", "erp_inv_dt", "cfm_factor",
+                  "allowed_lin_err", "max_corrective_velocity",
+                  "warmstart_coeff")
+
+
+# ---------------------------------------------------------------------------
+# Legacy single-scene kernel (rank-2 [d, P] lanes).
+# ---------------------------------------------------------------------------
+
+def _integrate_linearized_rank2(q, w, dt):
+    """quat.integrate_linearized_cl with every intermediate kept rank-2."""
+    h = dt * 0.5
+    hx, hy, hz = w[0:1] * h, w[1:2] * h, w[2:3] * h
+    qx, qy, qz, qw = q[0:1], q[1:2], q[2:3], q[3:4]
+    rx = qx + hx * qw + hy * qz - hz * qy
+    ry = qy - hx * qz + hy * qw + hz * qx
+    rz = qz + hx * qy - hy * qx + hz * qw
+    rw = qw - hx * qx - hy * qy - hz * qz
+    n2 = rx * rx + ry * ry + rz * rz + rw * rw
+    inv = 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-24))
+    return jnp.concatenate([rx * inv, ry * inv, rz * inv, rw * inv], axis=0)
 
 
 def _mslice(mat, name, shape3=None):
@@ -191,57 +218,28 @@ def _kernel(scalars_ref, ncol_ref, man_ref, vlin_ref, vang_ref, com_ref,
     out_imp[13, :] = cons.twist_impulse_acc
 
 
-def solve_from_manifolds(sb: cc.SolverBodies, *, b1, b2, valid, color,
-                         num_colors, normal, point, point_active, dist,
-                         friction, restitution, prev_impulse, ws_n, ws_t,
-                         ws_tw, dv_inc, dw_inc, move_mask, dt_sub, inv_dt_sub,
-                         erp_inv_dt, cfm_factor, allowed_lin_err,
-                         max_corrective_velocity, warmstart_coeff, n_sub: int,
-                         pgs_iters: int, stab_iters: int,
-                         interpret: bool = False):
-    """Contacts-only TGS-soft solve with in-kernel constraint generation.
-
-    Returns (sb, impulse_block [14, P]) where the block rows are
-    impulse(4) / impulse_acc(4) / tan(2) / tan_acc(2) / twist / twist_acc —
-    the same post-solve values the JAX path leaves on ContactConstraints.
-    """
-    p = b1.shape[0]
-    n1 = sb.v_lin.shape[1]
-
-    def rows(x, r):
-        return jnp.asarray(x, jnp.float32).reshape(r, p)
-
-    man = jnp.concatenate([
-        rows(b1, 1), rows(b2, 1), rows(valid, 1), rows(color, 1),
-        rows(friction, 1), rows(restitution, 1),
-        rows(normal, 3), rows(point, 12), rows(point_active, 4),
-        rows(dist, 4), rows(prev_impulse, 4),
-        rows(ws_n, 4), rows(ws_t, 2), rows(ws_tw, 1),
-    ], axis=0)
-    assert man.shape[0] == D_MAN
+def _legacy_solve(sb, man, num_colors, dv_inc, dw_inc, move_mask, scalars_vec,
+                  *, n_sub, pgs_iters, stab_iters, interpret):
+    """One scene through the rank-2 kernel.  vmap-able the classic way (each
+    batch member becomes a sequential grid instance) — the fallback when the
+    folded path is VMEM-infeasible."""
+    p = man.shape[-1]
+    n1 = sb.v_lin.shape[-1]
+    f32 = jnp.float32
 
     scalars = jnp.broadcast_to(
-        jnp.stack([
-            jnp.asarray(dt_sub, jnp.float32),
-            jnp.asarray(inv_dt_sub, jnp.float32),
-            jnp.asarray(erp_inv_dt, jnp.float32),
-            jnp.asarray(cfm_factor, jnp.float32),
-            jnp.asarray(allowed_lin_err, jnp.float32),
-            jnp.asarray(max_corrective_velocity, jnp.float32),
-            jnp.asarray(warmstart_coeff, jnp.float32),
-            jnp.float32(0.0),
-        ])[:, None],
+        jnp.concatenate([scalars_vec.astype(f32),
+                         jnp.zeros((1,), f32)])[:, None],
         (8, 128),
     )
     ncol = jnp.broadcast_to(
         jnp.asarray(num_colors, jnp.int32).reshape(1, 1), (8, 128)
     )
-    move = move_mask.astype(jnp.float32).reshape(1, n1)
+    move = move_mask.astype(f32).reshape(1, n1)
 
     kernel = functools.partial(
         _kernel, n_sub=n_sub, pgs_iters=pgs_iters, stab_iters=stab_iters
     )
-    f32 = jnp.float32
     out_shapes = (
         jax.ShapeDtypeStruct((3, n1), f32),   # v_lin
         jax.ShapeDtypeStruct((3, n1), f32),   # v_ang
@@ -261,6 +259,359 @@ def solve_from_manifolds(sb: cc.SolverBodies, *, b1, b2, valid, color,
 
     sb = sb._replace(v_lin=vlin, v_ang=vang, com=com, rot=rot)
     return sb, imp
+
+
+# ---------------------------------------------------------------------------
+# Scene-folded kernel: FOLD_S scenes per grid instance.
+# ---------------------------------------------------------------------------
+
+def _integrate_linearized_scene_first(q, w, dt):
+    """quat.integrate_linearized for [S, 4, N] / [S, 3, N] (axis-1 slices)."""
+    h = dt * 0.5
+    hx, hy, hz = w[:, 0:1] * h, w[:, 1:2] * h, w[:, 2:3] * h
+    qx, qy, qz, qw = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    rx = qx + hx * qw + hy * qz - hz * qy
+    ry = qy - hx * qz + hy * qw + hz * qx
+    rz = qz + hx * qy - hy * qx + hz * qw
+    rw = qw - hx * qx - hy * qy - hz * qz
+    n2 = rx * rx + ry * ry + rz * rz + rw * rw
+    inv = 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-24))
+    return jnp.concatenate([rx * inv, ry * inv, rz * inv, rw * inv], axis=1)
+
+
+def _mslice_folded(mat, name, shape3=None):
+    """Packed-field slice for the folded [S, D_MAN, P] manifold block,
+    returned component-leading [r, S, P] (static row unpack; `+ 0.0`
+    launders the slices for Mosaic layout inference)."""
+    off, r = _MOFF[name]
+    rows = jnp.stack([mat[:, off + j, :] + 0.0 for j in range(r)], axis=0)
+    if shape3 is not None:
+        rows = rows.reshape(shape3 + rows.shape[1:])
+    return rows
+
+
+def _kernel_folded(scalars_ref, ncol_ref, man_ref, vlin_ref, vang_ref,
+                   com_ref, rot_ref, im_ref, ii_ref, dv_ref, dw_ref, move_ref,
+                   out_vlin, out_vang, out_com, out_rot, out_imp,
+                   *, n_sub, pgs_iters, stab_iters):
+    s = man_ref.shape[1]
+    n1 = vlin_ref.shape[-1]
+
+    dt_sub = scalars_ref[0, 0]
+    inv_dt_sub = scalars_ref[1, 0]
+    erp_inv_dt = scalars_ref[2, 0]
+    cfm_factor = scalars_ref[3, 0]
+    allowed_lin_err = scalars_ref[4, 0]
+    max_corrective_velocity = scalars_ref[5, 0]
+    warmstart_coeff = scalars_ref[6, 0]
+    num_colors = ncol_ref[0, 0]
+
+    man = man_ref[0]                          # [S, D_MAN, P]
+    f = functools.partial(_mslice_folded, man)
+    b1 = f("b1")[0].astype(jnp.int32)         # [S, P]
+    b2 = f("b2")[0].astype(jnp.int32)
+    valid = f("valid")[0] > 0.0
+    color = f("color")[0].astype(jnp.int32)
+
+    sb = cc.SolverBodies(
+        v_lin=vlin_ref[0], v_ang=vang_ref[0],
+        com=com_ref[0], rot=rot_ref[0],
+        im=im_ref[0], ii=ii_ref[0],           # [S, d, N+1] (ii: [S, 9, N+1])
+    )
+    dv_inc = dv_ref[0]
+    dw_inc = dw_ref[0]
+    move = move_ref[0] > 0.0                  # [S, 1, N+1]
+
+    p = b1.shape[-1]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (s, p, n1), 2)
+    oh1 = (b1[:, :, None] == iota_n).astype(jnp.float32)   # [S, P, N+1]
+    oh2 = (b2[:, :, None] == iota_n).astype(jnp.float32)
+
+    cons = cc.generate_from(
+        b1, b2, valid, color,
+        f("normal"), f("point", (4, 3)), f("point_active") > 0.0,
+        f("dist"), f("friction")[0], f("restitution")[0],
+        sb, f("prev_impulse"), n1 - 1, oh1=oh1, oh2=oh2,
+    )
+    cons = cons._replace(
+        impulse=f("ws_n") * cons.point_mask,
+        tan_impulse=f("ws_t"),
+        twist_impulse=f("ws_tw")[0],
+    )
+
+    def sweep(cons, sb, use_bias):
+        cons, sb = cc.solve_color(
+            cons, sb, jnp.int32(0), oh1, oh2, use_bias=use_bias
+        )
+
+        def body(ci, carry):
+            imp, tanimp, twimp, vlin, vang = carry
+            c2 = cons._replace(
+                impulse=imp, tan_impulse=tanimp, twist_impulse=twimp
+            )
+            s2 = sb._replace(v_lin=vlin, v_ang=vang)
+            c3, s3 = cc.solve_color(c2, s2, ci, oh1, oh2, use_bias=use_bias)
+            return (c3.impulse, c3.tan_impulse, c3.twist_impulse,
+                    s3.v_lin, s3.v_ang)
+        init = (cons.impulse, cons.tan_impulse, cons.twist_impulse,
+                sb.v_lin, sb.v_ang)
+        imp, tanimp, twimp, vlin, vang = jax.lax.fori_loop(
+            1, num_colors, body, init
+        )
+        return (
+            cons._replace(impulse=imp, tan_impulse=tanimp, twist_impulse=twimp),
+            sb._replace(v_lin=vlin, v_ang=vang),
+        )
+
+    for _substep in range(n_sub):
+        sb = sb._replace(v_lin=sb.v_lin + dv_inc, v_ang=sb.v_ang + dw_inc)
+        cons = cc.update(
+            cons, sb, oh1, oh2,
+            cfm_factor=cfm_factor, inv_dt=inv_dt_sub,
+            allowed_lin_err=allowed_lin_err, erp_inv_dt=erp_inv_dt,
+            max_corrective_velocity=max_corrective_velocity,
+            warmstart_coeff=warmstart_coeff,
+        )
+        sb = cc.warmstart(cons, sb, oh1, oh2)
+        for _pgs in range(pgs_iters):
+            cons, sb = sweep(cons, sb, True)
+        com = sb.com + jnp.where(move, sb.v_lin * dt_sub, 0.0)
+        rot_new = _integrate_linearized_scene_first(sb.rot, sb.v_ang, dt_sub)
+        rot = jnp.where(move, rot_new, sb.rot)
+        sb = sb._replace(com=com, rot=rot)
+        for _stab in range(stab_iters):
+            cons, sb = sweep(cons, sb, False)
+
+    out_vlin[0] = sb.v_lin
+    out_vang[0] = sb.v_ang
+    out_com[0] = sb.com
+    out_rot[0] = sb.rot
+    out_imp[0, 0:4] = cons.impulse
+    out_imp[0, 4:8] = cons.impulse_acc
+    out_imp[0, 8:10] = cons.tan_impulse
+    out_imp[0, 10:12] = cons.tan_impulse_acc
+    out_imp[0, 12] = cons.twist_impulse
+    out_imp[0, 13] = cons.twist_impulse_acc
+
+
+def _run_folded(sb_t, man_t, ncol_max, dv_t, dw_t, move_t, scalars_vec,
+                *, g, s, n_sub, pgs_iters, stab_iters, interpret):
+    """Launch the folded kernel over grid (g,) with blocks of S scenes.
+
+    sb_t fields: [g, s, d, N+1] (ii [g, s, 9, N+1]); man_t [g, s, D_MAN, P];
+    dv/dw [g, s, 3, N+1]; move [g, s, 1, N+1]; ncol_max scalar int32.
+    Returns (sb_t fields updated, imp [g, 14, s, P])."""
+    n1 = sb_t.v_lin.shape[-1]
+    p = man_t.shape[-1]
+    f32 = jnp.float32
+
+    scalars = jnp.broadcast_to(
+        jnp.concatenate([
+            scalars_vec.astype(f32), jnp.zeros((1,), f32)
+        ])[:, None], (8, 128),
+    )
+    ncol = jnp.broadcast_to(
+        jnp.asarray(ncol_max, jnp.int32).reshape(1, 1), (8, 128)
+    )
+
+    kernel = functools.partial(
+        _kernel_folded, n_sub=n_sub, pgs_iters=pgs_iters,
+        stab_iters=stab_iters,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((g, s, 3, n1), f32),   # v_lin
+        jax.ShapeDtypeStruct((g, s, 3, n1), f32),   # v_ang
+        jax.ShapeDtypeStruct((g, s, 3, n1), f32),   # com
+        jax.ShapeDtypeStruct((g, s, 4, n1), f32),   # rot
+        jax.ShapeDtypeStruct((g, 14, s, p), f32),   # impulse block
+    )
+
+    def blk(*shape):
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    rep = pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        rep, rep,
+        blk(s, D_MAN, p),
+        blk(s, 3, n1), blk(s, 3, n1), blk(s, 3, n1), blk(s, 4, n1),
+        blk(s, 3, n1), blk(s, 9, n1),
+        blk(s, 3, n1), blk(s, 3, n1), blk(s, 1, n1),
+    ]
+    out_specs = (
+        blk(s, 3, n1), blk(s, 3, n1), blk(s, 3, n1), blk(s, 4, n1),
+        blk(14, s, p),
+    )
+    vlin, vang, com, rot, imp = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(scalars, ncol, man_t, sb_t.v_lin, sb_t.v_ang, sb_t.com, sb_t.rot,
+      sb_t.im, sb_t.ii, dv_t, dw_t, move_t)
+    return sb_t._replace(v_lin=vlin, v_ang=vang, com=com, rot=rot), imp
+
+
+def fold_feasible(p_lanes: int, n1: int) -> bool:
+    """Whether the vmap rule uses the folded kernel.  OFF by default:
+    measured at B=512/P=512/N1=65 the folded solve is ~40% SLOWER than the
+    vmapped rank-2 kernel (68.6 ms vs 49.8 ms) — Mosaic unrolls the
+    leading-batch dot_generals into S sequential small matmuls AND every
+    gather/scatter repacks [S, d, P] <-> [d, S, P] (sublane relayouts), so
+    the per-pass op count grows more than the 8x-wider elementwise ops save.
+    The kernel is kept behind RAPIER_TPU_FOLD=1 as a measured baseline for
+    future sublane-packing work (the 2.7x tile-count win is real; the
+    gather plumbing is what eats it)."""
+    import os
+    if os.environ.get("RAPIER_TPU_FOLD", "0") != "1":
+        return False
+    est = FOLD_S * p_lanes * (2 * n1 + 4 * D_MAN + 700) * 4
+    return est < 24 * 2**20
+
+
+@functools.lru_cache(maxsize=None)
+def _folded_solver(n_sub: int, pgs_iters: int, stab_iters: int,
+                   interpret: bool):
+    """custom_vmap solve: the unbatched call runs the rank-2 single-scene
+    kernel; the vmap rule folds the scene batch into grid blocks of FOLD_S
+    scenes (padding the batch up to a multiple of 8)."""
+    from jax.custom_batching import custom_vmap
+
+    static = dict(n_sub=n_sub, pgs_iters=pgs_iters, stab_iters=stab_iters,
+                  interpret=interpret)
+
+    @custom_vmap
+    def solve(sb, man, num_colors, dv_inc, dw_inc, move, scalars_vec):
+        return _legacy_solve(sb, man, num_colors, dv_inc, dw_inc, move,
+                             scalars_vec, **static)
+
+    @solve.def_vmap
+    def solve_vmap(axis_size, in_batched, sb, man, num_colors, dv_inc,
+                   dw_inc, move, scalars_vec):
+        b = axis_size
+        # Scalars come from params: unbatched in every real call pattern.
+        assert not jax.tree_util.tree_all(
+            jax.tree.map(bool, in_batched[6])
+        ), "folded solver: per-scene SimParams scalars unsupported"
+
+        def bcast(x, is_b):
+            return x if is_b else jnp.broadcast_to(x[None], (b,) + x.shape)
+
+        sb_b = jax.tree.map(bcast, sb, in_batched[0])
+        man_b = bcast(man, in_batched[1])
+        ncol_b = bcast(num_colors, in_batched[2])
+        dv_b = bcast(dv_inc, in_batched[3])
+        dw_b = bcast(dw_inc, in_batched[4])
+        move_b = bcast(move, in_batched[5])
+
+        p_lanes = man_b.shape[-1]
+        n1 = sb_b.v_lin.shape[-1]
+
+        if not fold_feasible(p_lanes, n1):
+            # Classic path: B sequential grid instances of the rank-2 kernel.
+            sb_out, imp_out = jax.vmap(
+                functools.partial(_legacy_solve, **static),
+                in_axes=(0, 0, 0, 0, 0, 0, None),
+            )(sb_b, man_b, ncol_b, dv_b, dw_b, move_b, scalars_vec)
+            out_batched = (jax.tree.map(lambda _: True, sb_out), True)
+            return (sb_out, imp_out), out_batched
+
+        s = FOLD_S
+        if b % s:
+            pad = s - b % s
+
+            def padb(x):
+                return jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+            sb_b = jax.tree.map(padb, sb_b)
+            man_b, ncol_b, dv_b, dw_b, move_b = (
+                padb(man_b), padb(ncol_b), padb(dv_b), padb(dw_b),
+                padb(move_b))
+        bp = man_b.shape[0]
+        g = bp // s
+
+        def fold(x):
+            return x.reshape((g, s) + x.shape[1:])
+        sb_t = cc.SolverBodies(
+            v_lin=fold(sb_b.v_lin), v_ang=fold(sb_b.v_ang),
+            com=fold(sb_b.com), rot=fold(sb_b.rot), im=fold(sb_b.im),
+            ii=fold(sb_b.ii.reshape(bp, 9, n1)),
+        )
+        ncol_max = jnp.max(ncol_b)
+        sb2, imp = _run_folded(
+            sb_t, fold(man_b), ncol_max, fold(dv_b), fold(dw_b),
+            fold(move_b.astype(jnp.float32)[:, None, :]), scalars_vec,
+            g=g, s=s, **static,
+        )
+
+        def unfold(x):
+            return x.reshape((bp,) + x.shape[2:])[:b]
+        sb_out = sb_b._replace(
+            v_lin=unfold(sb2.v_lin), v_ang=unfold(sb2.v_ang),
+            com=unfold(sb2.com), rot=unfold(sb2.rot),
+            im=sb_b.im[:b], ii=sb_b.ii[:b],
+        )
+        imp_out = jnp.transpose(imp, (0, 2, 1, 3)).reshape(
+            bp, 14, p_lanes)[:b]
+        out_batched = (jax.tree.map(lambda _: True, sb_out), True)
+        return (sb_out, imp_out), out_batched
+
+    return solve
+
+
+def solve_from_manifolds(sb: cc.SolverBodies, *, b1, b2, valid, color,
+                         num_colors, normal, point, point_active, dist,
+                         friction, restitution, prev_impulse, ws_n, ws_t,
+                         ws_tw, dv_inc, dw_inc, move_mask, dt_sub, inv_dt_sub,
+                         erp_inv_dt, cfm_factor, allowed_lin_err,
+                         max_corrective_velocity, warmstart_coeff, n_sub: int,
+                         pgs_iters: int, stab_iters: int,
+                         interpret: bool = False):
+    """Contacts-only TGS-soft solve with in-kernel constraint generation.
+
+    Returns (sb, impulse_block [14, P]) where the block rows are
+    impulse(4) / impulse_acc(4) / tan(2) / tan_acc(2) / twist / twist_acc —
+    the same post-solve values the JAX path leaves on ContactConstraints.
+
+    This function is the vmap seam: called per-scene inside a vmapped step,
+    its custom_vmap rule folds the scene batch into grid blocks of FOLD_S
+    scenes (see _kernel_folded) instead of B sequential single-scene
+    instances.
+    """
+    p = b1.shape[0]
+
+    def rows(x, r):
+        return jnp.asarray(x, jnp.float32).reshape(r, p)
+
+    man = jnp.concatenate([
+        rows(b1, 1), rows(b2, 1), rows(valid, 1), rows(color, 1),
+        rows(friction, 1), rows(restitution, 1),
+        rows(normal, 3), rows(point, 12), rows(point_active, 4),
+        rows(dist, 4), rows(prev_impulse, 4),
+        rows(ws_n, 4), rows(ws_t, 2), rows(ws_tw, 1),
+    ], axis=0)
+    assert man.shape[0] == D_MAN
+
+    scalars_vec = jnp.stack([
+        jnp.asarray(dt_sub, jnp.float32),
+        jnp.asarray(inv_dt_sub, jnp.float32),
+        jnp.asarray(erp_inv_dt, jnp.float32),
+        jnp.asarray(cfm_factor, jnp.float32),
+        jnp.asarray(allowed_lin_err, jnp.float32),
+        jnp.asarray(max_corrective_velocity, jnp.float32),
+        jnp.asarray(warmstart_coeff, jnp.float32),
+    ])
+
+    solver = _folded_solver(
+        int(n_sub), int(pgs_iters), int(stab_iters), bool(interpret)
+    )
+    return solver(
+        sb, man, jnp.asarray(num_colors, jnp.int32), dv_inc, dw_inc,
+        move_mask, scalars_vec,
+    )
 
 
 def vmem_feasible(p_lanes: int, n1: int) -> bool:

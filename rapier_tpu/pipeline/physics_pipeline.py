@@ -57,6 +57,8 @@ class StepEvents(NamedTuple):
     broadphase_overflow: jax.Array  # scalar int32 diagnostic
     unsupported_pairs: jax.Array    # scalar int32 — pairs with no NP kernel
     ccd_overflow: jax.Array         # scalar int32 — CCD candidates dropped by caps
+    solver_overflow: jax.Array      # scalar int32 — touching pairs dropped by
+                                    # the max_solver_pairs compaction cap
 
 
 def _match_previous(prev: Contacts, man: ManifoldBatch):
@@ -363,9 +365,6 @@ def step(state: SceneState, params: SimParams, hooks=None):
 
     dyn1 = man.dyn1 & ~asleep1
     dyn2 = man.dyn2 & ~asleep2
-    color, num_colors = color_constraints(
-        man.body1, man.body2, dyn1, dyn2, solver_pair, n, params.max_colors
-    )
 
     # Contacts-only scenes on TPU take the VMEM-resident Pallas kernel:
     # constraint generation + the whole substep/color loop run on-chip from
@@ -382,6 +381,10 @@ def step(state: SceneState, params: SimParams, hooks=None):
         and pallas_sweep.vmem_feasible(man.body1.shape[0], n + 1)
         and (backend == "pallas" or jax.default_backend() == "tpu")
     )
+    p_lanes = man.body1.shape[0]
+    cap = params.max_solver_pairs
+    compact_solve = use_pallas and 0 < cap < p_lanes
+    solver_overflow = jnp.int32(0)
 
     if use_pallas:
         si = vs.substep_inputs(bodies, sb, active, params)
@@ -390,13 +393,55 @@ def step(state: SceneState, params: SimParams, hooks=None):
                         man.body1, sent)
         b2s = jnp.where((man.body2 >= 0) & (man.rel_dominance >= 0),
                         man.body2, sent)
+        sp = solver_pair
+        sd1, sd2 = dyn1, dyn2
+        s_normal, s_point, s_pact = man.normal, man.point, man.point_active
+        s_dist, s_fric, s_rest = man.dist, man.friction, man.restitution
+        s_prev, s_wsn = prev_imp, ws_n * man.point_active
+        s_wst, s_wstw = ws_t, ws_tw
+        if compact_solve:
+            # Stream-compact the touching lanes: the O(substeps x colors)
+            # sweep then works K = max_solver_pairs lanes instead of every
+            # broad-phase candidate lane.  Routing is one [K, P] one-hot
+            # matmul per direction (utils/compaction.py rationale).
+            from rapier_tpu.utils.compaction import compact_indices
+
+            src, kvalid, solver_overflow = compact_indices(sp, cap)
+            route = (
+                (src[:, None] == jnp.arange(p_lanes, dtype=jnp.int32)[None, :])
+                & kvalid[:, None]
+            ).astype(jnp.float32)                               # [K, P]
+
+            def clane(x):
+                """Lane-last [..., P] float field -> [..., K]."""
+                return jnp.asarray(x, jnp.float32) @ route.T
+
+            def cint(x, fill):
+                v = clane(x).astype(jnp.int32)
+                return jnp.where(kvalid, v, fill)
+
+            b1s = cint(b1s, sent)
+            b2s = cint(b2s, sent)
+            sd1 = clane(sd1) > 0.5
+            sd2 = clane(sd2) > 0.5
+            sp = kvalid
+            s_normal, s_point, s_pact = (
+                clane(s_normal), clane(s_point), clane(s_pact) > 0.5)
+            s_dist, s_fric, s_rest = (
+                clane(s_dist), clane(s_fric), clane(s_rest))
+            s_prev, s_wsn = clane(s_prev), clane(s_wsn)
+            s_wst, s_wstw = clane(s_wst), clane(s_wstw)
+
+        color, num_colors = color_constraints(
+            b1s, b2s, sd1, sd2, sp, n, params.max_colors
+        )
         sb, imp = pallas_sweep.solve_from_manifolds(
-            sb, b1=b1s, b2=b2s, valid=solver_pair, color=color,
-            num_colors=num_colors, normal=man.normal, point=man.point,
-            point_active=man.point_active, dist=man.dist,
-            friction=man.friction, restitution=man.restitution,
-            prev_impulse=prev_imp, ws_n=ws_n * man.point_active, ws_t=ws_t,
-            ws_tw=ws_tw, dv_inc=si["dv_inc"], dw_inc=si["dw_inc"],
+            sb, b1=b1s, b2=b2s, valid=sp, color=color,
+            num_colors=num_colors, normal=s_normal, point=s_point,
+            point_active=s_pact, dist=s_dist,
+            friction=s_fric, restitution=s_rest,
+            prev_impulse=s_prev, ws_n=s_wsn, ws_t=s_wst,
+            ws_tw=s_wstw, dv_inc=si["dv_inc"], dw_inc=si["dw_inc"],
             move_mask=si["move_mask"], dt_sub=si["dt_sub"],
             inv_dt_sub=si["inv_dt_sub"], erp_inv_dt=si["erp_inv_dt"],
             cfm_factor=si["cfm_factor"],
@@ -408,6 +453,18 @@ def step(state: SceneState, params: SimParams, hooks=None):
             stab_iters=params.num_internal_stabilization_iterations,
             interpret=jax.default_backend() != "tpu",
         )
+        if compact_solve:
+            # Scatter the impulse block back to full lanes; lanes the solve
+            # never saw (sleeping / hook-filtered / overflow) keep their
+            # matched warmstart caches so they warmstart correctly on wake.
+            imp = imp @ route                                   # [14, P]
+            covered = jnp.sum(route, axis=0) > 0.0              # [P]
+            z4 = jnp.zeros((4, p_lanes))
+            default = jnp.concatenate([
+                ws_n * man.point_active, z4, ws_t, jnp.zeros((2, p_lanes)),
+                ws_tw[None], jnp.zeros((1, p_lanes)),
+            ], axis=0)
+            imp = jnp.where(covered[None, :], imp, default)
         constraints = _SolvedImpulses(
             impulse=imp[0:4], impulse_acc=imp[4:8],
             tan_impulse=imp[8:10], tan_impulse_acc=imp[10:12],
@@ -415,6 +472,9 @@ def step(state: SceneState, params: SimParams, hooks=None):
             point_mask=man.point_active,
         )
     else:
+        color, num_colors = color_constraints(
+            man.body1, man.body2, dyn1, dyn2, solver_pair, n, params.max_colors
+        )
         if coulomb:
             from rapier_tpu.dynamics.solver import (
                 contact_constraints_coulomb as cc_model,
@@ -556,5 +616,6 @@ def step(state: SceneState, params: SimParams, hooks=None):
         broadphase_overflow=bp_overflow,
         unsupported_pairs=man.unsupported,
         ccd_overflow=ccd_overflow,
+        solver_overflow=solver_overflow,
     )
     return new_state, events

@@ -140,6 +140,12 @@ class Bodies:
     angular_damping: jax.Array # [N]
     dominance: jax.Array       # [N] int32 (-127..127)
     gyro_enabled: jax.Array    # [N] bool
+    # Multibody link marker: the body is driven by a reduced-coordinate
+    # articulation (dynamics/multibody.py).  Links are typed kinematic for
+    # pose advancement but participate in the contact solve with articulated
+    # mobility masses (two-way coupling; reference expresses this as generic
+    # constraint rows, generic_contact_constraint.rs:392).
+    mb_link: jax.Array         # [N] bool
     # Sleeping (reference RigidBodyActivation, rigid_body_components.rs:1193).
     can_sleep: jax.Array       # [N] bool
     sleeping: jax.Array        # [N] bool
@@ -285,7 +291,7 @@ def empty_bodies(n: int) -> Bodies:
         body_type=_i((n,), int(BodyType.FIXED)), enabled=_b((n,)),
         locked_axes=_i((n,)), gravity_scale=_np.ones((n,), _np.float32),
         linear_damping=_f((n,)), angular_damping=_f((n,)),
-        dominance=_i((n,)), gyro_enabled=_b((n,)),
+        dominance=_i((n,)), gyro_enabled=_b((n,)), mb_link=_b((n,)),
         can_sleep=_b((n,), True), sleeping=_b((n,)), sleep_timer=_f((n,)),
         ccd_enabled=_b((n,)), soft_ccd_prediction=_f((n,)),
         next_pos=_f((n, 3)), next_rot=quat_id,
@@ -471,6 +477,15 @@ class SimParams:
     # mixed-primitives drop, ~12 for tall pyramids; overflow lanes degrade to
     # Jacobi in the last color (soft-constraint cfm keeps that stable).
     max_colors: int = struct.field(pytree_node=False, default=16)
+    # Solver-lane compaction cap: when 0 < max_solver_pairs < max_pairs, the
+    # touching pairs are stream-compacted into this many lanes before
+    # coloring + the contact solve (and impulses scattered back).  Broad/
+    # narrow-phase capacity stays max_pairs; this right-sizes only the
+    # O(substeps x colors) sweep working set, which otherwise pays for every
+    # candidate lane.  Overflowing touching pairs are dropped from the solve
+    # for one step and counted in StepEvents.solver_overflow.  The reference
+    # has no analog (it allocates constraints exactly; we need static shapes).
+    max_solver_pairs: int = struct.field(pytree_node=False, default=0)
     # Mesh narrow phase: lanes reserved for (convex, mesh) pairs and candidate
     # triangles per such pair (geometry/narrowphase_mesh.py).
     max_mesh_pairs: int = struct.field(pytree_node=False, default=64)
