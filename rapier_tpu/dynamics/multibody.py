@@ -568,7 +568,13 @@ def write_back_bodies(mb: Multibodies, bodies, l2w_pos, l2w_rot, jac, valid,
         jnp.linalg.norm(rotq, axis=-1, keepdims=True), 1e-9
     )
     rot = jnp.where(is_link[:, None], rotq, bodies.rot)
-    out = bodies.replace(next_pos=pos, next_rot=rot)
+    # Non-link bodies keep their EXISTING next pose (the solver's integrated
+    # pose when called post-writeback in phase C; equal to the current pose at
+    # step start) — clobbering it with `pos` would undo their integration.
+    out = bodies.replace(
+        next_pos=jnp.where(is_link[:, None], pos, bodies.next_pos),
+        next_rot=jnp.where(is_link[:, None], rot, bodies.next_rot),
+    )
     if next_only:
         return out
     linvel = jnp.where(is_link[:, None], scatter(vel[..., :3]), bodies.linvel)
@@ -599,3 +605,245 @@ def step_multibodies(mb: Multibodies, bodies, gravity, dt,
         mb, bodies, l2w_pos, l2w_rot, jac, valid, next_only=next_only
     )
     return mb, bodies, aux
+
+
+# ---------------------------------------------------------------------------
+# Two-way contact coupling (reference: generic constraint rows whose contact
+# jacobians span the generalized dofs, generic_contact_constraint.rs:392 +
+# multibody.rs:616-667 jacobian plumbing).  TPU recast as three phases around
+# the batched contact solve:
+#   A. predict_velocities: forward dynamics at the CURRENT pose ->
+#      tentative qd; tentative link velocities J*qd written to the bodies.
+#   B. install_link_mobility: links enter the contact solve with their
+#      ARTICULATED mobility (the 6x6 diagonal blocks of J A^-1 J^T) as
+#      solver im/ii, so contact denominators feel the articulation
+#      compliance.  Divergence: the lin-ang cross block and the link-to-link
+#      off-diagonal mobility are dropped inside the Gauss-Seidel sweep (the
+#      reference's generic rows carry them exactly); phase C restores
+#      momentum consistency after the sweep.
+#   C. absorb_contact_impulses: the solver's link velocity deltas are
+#      projected into generalized coordinates by mass-weighted least squares
+#      (Gauss principle): dqd = A^-1 J^T M dv; then joint integration + FK
+#      write the links' next poses.
+# ---------------------------------------------------------------------------
+
+
+def predict_velocities(mb: Multibodies, bodies, gravity, dt):
+    """Phase A: generalized forward dynamics -> tentative qd; write tentative
+    link velocities (J qd) into the body set.  Positions are NOT advanced —
+    integration happens after the contact solve (absorb_contact_impulses).
+    Returns (mb, bodies, aux)."""
+    n = bodies.pos.shape[0]
+    lb0 = jnp.clip(mb.link_body[:, 0], 0, n - 1)
+    root_pos = bodies.pos[lb0]
+    root_rot = bodies.rot[lb0]
+
+    qdd, aux = forward_dynamics(mb, bodies, gravity, dt, root_pos, root_rot)
+    qd = mb.qd + qdd * dt
+    qd = apply_couplings(mb, qd, aux["chol"])
+    mb = mb.replace(qd=qd)
+
+    vel = velocities_from_qd(mb, aux["jac"])            # [M, L, 6]
+    oh, is_link = _link_onehot(mb, aux["valid"], n)
+    linvel = jnp.where(is_link[:, None],
+                       jnp.einsum("mln,mlk->nk", oh, vel[..., :3]),
+                       bodies.linvel)
+    angvel = jnp.where(is_link[:, None],
+                       jnp.einsum("mln,mlk->nk", oh, vel[..., 3:]),
+                       bodies.angvel)
+    bodies = bodies.replace(linvel=linvel, angvel=angvel)
+    aux["root_pos"] = root_pos
+    aux["root_rot"] = root_rot
+    return mb, bodies, aux
+
+
+def _link_onehot(mb: Multibodies, valid, n):
+    """[M, L, N] f32 link->body routing matrix + [N] is-link mask."""
+    lb = jnp.clip(mb.link_body, 0, n - 1)
+    oh = (lb[..., None] == jnp.arange(n)[None, None, :]).astype(jnp.float32)
+    oh = oh * valid[..., None]
+    return oh, jnp.einsum("mln->n", oh) > 0
+
+
+def link_mobility(mb: Multibodies, aux):
+    """Articulated per-link mobility diagonal blocks Phi_ll = J_l A^-1 J_l^T.
+
+    Returns (im_links [M, L, 3] — linear diag, ii_links [M, L, 3, 3] —
+    angular block).  Symmetric PSD by construction."""
+    jac = aux["jac"]                                    # [M, L, 6, D6]
+    chol = aux["chol"]
+    m, l, _, d6 = jac.shape
+    jt = jac.reshape(m, l * SPATIAL, d6)
+    x = jax.scipy.linalg.cho_solve(
+        (chol, True), jnp.swapaxes(jt, 1, 2)
+    ).reshape(m, d6, l, SPATIAL)                        # A^-1 J^T per link
+    phi = jnp.einsum("mlad,mdlb->mlab", jac, x)         # [M, L, 6, 6]
+    phi = phi * aux["valid"][..., None, None]
+    im_links = jnp.maximum(
+        jnp.stack([phi[..., 0, 0], phi[..., 1, 1], phi[..., 2, 2]], axis=-1),
+        0.0,
+    )
+    ii_links = phi[..., 3:, 3:]
+    return im_links, ii_links
+
+
+def install_link_mobility(sb, mb: Multibodies, aux, bodies):
+    """Phase B: scatter articulated mobility into the SolverBodies columns of
+    the link bodies (component-leading [3, N+1] / [3, 3, N+1] tables)."""
+    n = bodies.pos.shape[0]
+    im_l, ii_l = link_mobility(mb, aux)
+    oh, is_link = _link_onehot(mb, aux["valid"], n)
+
+    im_n = jnp.einsum("mln,mlk->kn", oh, im_l)          # [3, N]
+    ii_n = jnp.einsum("mln,mlab->abn", oh, ii_l)        # [3, 3, N]
+    ext = jnp.concatenate([is_link, jnp.zeros((1,), bool)])
+    im = jnp.where(ext[None, :],
+                   jnp.concatenate([im_n, jnp.zeros((3, 1))], axis=1), sb.im)
+    ii = jnp.where(ext[None, None, :],
+                   jnp.concatenate([ii_n, jnp.zeros((3, 3, 1))], axis=2),
+                   sb.ii)
+    return sb._replace(im=im, ii=ii)
+
+
+def absorb_contact_impulses(mb: Multibodies, bodies, sb, aux, dt):
+    """Phase C: project link velocity deltas into generalized space, then
+    integrate joints + FK and write the links' next poses and velocities.
+
+    dqd = A^-1 J^T M (v_post - J qd)  (mass-weighted least squares in the
+    augmented-mass metric — momentum-consistent; see module comment).
+    """
+    n = bodies.pos.shape[0]
+    jac, chol, valid = aux["jac"], aux["chol"], aux["valid"]
+
+    vel_t = velocities_from_qd(mb, jac)                 # [M, L, 6]
+    oh, is_link = _link_onehot(mb, valid, n)
+    v_post_lin = jnp.einsum("mln,kn->mlk", oh, sb.v_lin[:, :n])
+    v_post_ang = jnp.einsum("mln,kn->mlk", oh, sb.v_ang[:, :n])
+    dv_lin = v_post_lin - vel_t[..., :3]
+    dv_ang = v_post_ang - vel_t[..., 3:]
+
+    mass, principal, pframe, _lc, _valid2 = _link_mass_props(mb, bodies)
+    iw = _world_inertia(aux["l2w_rot"], pframe, principal)
+    p_lin = mass[..., None] * dv_lin
+    p_ang = jnp.einsum("mlab,mlb->mla", iw, dv_ang)
+    p = jnp.concatenate([p_lin, p_ang], axis=-1)        # [M, L, 6]
+
+    tau = jnp.einsum("mlak,mla->mk", jac, p)
+    dqd = jax.scipy.linalg.cho_solve(
+        (chol, True), tau[..., None]
+    )[..., 0] * live_mask(mb)
+    qd = apply_couplings(mb, mb.qd + dqd, chol)
+    mb = mb.replace(qd=qd)
+    mb = integrate(mb, dt)
+
+    l2w_pos, l2w_rot = forward_kinematics(
+        mb, bodies, aux["root_pos"], aux["root_rot"]
+    )
+    jac2, _coms, _anch, _m, _pr, _pf, valid2 = compute_jacobians(
+        mb, l2w_pos, l2w_rot, bodies
+    )
+    bodies = write_back_bodies(
+        mb, bodies, l2w_pos, l2w_rot, jac2, valid2, next_only=True
+    )
+    vel_f = velocities_from_qd(mb, jac2)
+    linvel = jnp.where(is_link[:, None],
+                       jnp.einsum("mln,mlk->nk", oh, vel_f[..., :3]),
+                       bodies.linvel)
+    angvel = jnp.where(is_link[:, None],
+                       jnp.einsum("mln,mlk->nk", oh, vel_f[..., 3:]),
+                       bodies.angvel)
+    return mb, bodies.replace(linvel=linvel, angvel=angvel)
+
+
+# ---------------------------------------------------------------------------
+# Inverse kinematics (reference multibody_ik.rs:47-181): damped-least-squares
+# jacobian IK, batched over all M articulations and run as a fixed-iteration
+# jit-friendly loop (converged articulations are masked out, not exited).
+# ---------------------------------------------------------------------------
+
+
+def inverse_kinematics(mb: Multibodies, bodies, target_link, target_pos,
+                       target_rot, *, damping: float = 1.0,
+                       max_iters: int = 10, constrained_axes: int = 0b111111,
+                       eps_linear: float = 1.0e-3, eps_angular: float = 1.0e-3,
+                       joint_can_move=None) -> Multibodies:
+    """Move each articulation's `target_link` toward a target pose by
+    iterating dq = J^T (J J^T + damping^2 I)^-1 delta
+    (multibody_ik.rs:68-80 inverse_kinematics_delta_with_jacobian, :93-181
+    iteration loop).
+
+    Args:
+      target_link: [M] int32 link index per articulation (-1 = leave as is).
+      target_pos:  [M, 3] world-space target for the link body origin.
+      target_rot:  [M, 4] world-space target orientation quaternion.
+      constrained_axes: JointAxesMask bits of the pose axes to solve for
+        (bit 0..2 = LIN_XYZ, 3..5 = ANG_XYZ).
+      joint_can_move: optional [M, L] bool; False freezes that link's dofs.
+
+    Returns the Multibodies with updated q / joint_rot (qd untouched).
+    Follow with forward_kinematics + write_back_bodies (or a pipeline step)
+    to realize the new link poses on the rigid bodies.
+    """
+    m, l = mb.m, mb.l
+    n = bodies.pos.shape[0]
+    target_link = jnp.asarray(target_link, jnp.int32)
+    target_pos = jnp.asarray(target_pos, jnp.float32)
+    target_rot = jnp.asarray(target_rot, jnp.float32)
+    act = target_link >= 0                              # [M]
+    link_oh = (
+        jnp.clip(target_link, 0, l - 1)[:, None] == jnp.arange(l)[None, :]
+    ).astype(jnp.float32) * act[:, None]                # [M, L]
+
+    axes = jnp.asarray(
+        [(constrained_axes >> k) & 1 for k in range(SPATIAL)], jnp.float32
+    )
+    if joint_can_move is None:
+        col_mask = jnp.ones((m, mb.d6), jnp.float32)
+    else:
+        col_mask = jnp.repeat(
+            jnp.asarray(joint_can_move, jnp.float32), SPATIAL, axis=1
+        )
+
+    lb0 = jnp.clip(mb.link_body[:, 0], 0, n - 1)
+    root_pos = bodies.pos[lb0]
+    root_rot = bodies.rot[lb0]
+    saved_qd = mb.qd
+
+    def body(_, mb):
+        l2w_pos, l2w_rot = forward_kinematics(mb, bodies, root_pos, root_rot)
+        jac, coms, _anch, _mass, _pr, _pf, _valid = compute_jacobians(
+            mb, l2w_pos, l2w_rot, bodies
+        )
+        # Target link's jacobian, with linear rows shifted COM -> body origin
+        # (v_o = v_com + w x (o - com)).
+        jt = jnp.einsum("ml,mlak->mak", link_oh, jac)   # [M, 6, D6]
+        r = jnp.einsum("ml,mlk->mk", link_oh, l2w_pos - coms)
+        jt = jt.at[:, :3].add(
+            jnp.einsum("mab,mbk->mak", -_cross_mat(r), jt[:, 3:])
+        )
+        jt = jt * col_mask[:, None, :]
+
+        pose_p = jnp.einsum("ml,mlk->mk", link_oh, l2w_pos)
+        pose_r = quat.normalize(jnp.einsum("ml,mlk->mk", link_oh, l2w_rot))
+        delta = jnp.concatenate([
+            target_pos - pose_p,
+            quat.to_scaled_axis(quat.mul(target_rot, quat.conj(pose_r))),
+        ], axis=-1) * axes[None, :]                     # [M, 6]
+
+        lin_err = jnp.linalg.norm(delta[:, :3], axis=-1)
+        ang_err = jnp.linalg.norm(delta[:, 3:], axis=-1)
+        live = act & ((lin_err > eps_linear) | (ang_err > eps_angular))
+
+        jj = jnp.einsum("mak,mbk->mab", jt, jt) + (
+            damping * damping
+        ) * jnp.eye(SPATIAL)[None]
+        y = jnp.linalg.solve(jj, delta[..., None])[..., 0]
+        dq = jnp.einsum("mak,ma->mk", jt, y)            # [M, D6]
+        dq = dq * live[:, None].astype(jnp.float32)
+        # Realize the displacement through the joint-space integrator
+        # (keeps joint_rot/q consistent and respects limits).
+        stepped = integrate(mb.replace(qd=dq), 1.0)
+        return stepped.replace(qd=mb.qd)
+
+    mb = jax.lax.fori_loop(0, max_iters, body, mb)
+    return mb.replace(qd=saved_qd)

@@ -249,9 +249,12 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
     parent = colliders.parent
     safe_p = jnp.maximum(parent, 0)
     bt_c = jnp.where(parent >= 0, bodies.body_type[safe_p], int(BodyType.FIXED))
-    dom_c = jnp.where(
-        bt_c == BodyType.DYNAMIC, bodies.dominance[safe_p], 127
+    # Solver-dynamic: responds to contact impulses — dynamic bodies AND
+    # multibody links (two-way coupling, dynamics/multibody.py phase B).
+    sdyn_c = (bt_c == BodyType.DYNAMIC) | jnp.where(
+        parent >= 0, bodies.mb_link[safe_p], False
     )
+    dom_c = jnp.where(sdyn_c, bodies.dominance[safe_p], 127)
     sg = colliders.solver_groups
     cols = jnp.concatenate([
         w_pos,                                              # 0:3
@@ -272,7 +275,7 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
         colliders.active_hooks[:, None].astype(f32),        # 31
         # inf would poison the one-hot matmul (0*inf = NaN): clamp.
         jnp.minimum(colliders.contact_force_event_threshold, 3.0e38)[:, None],  # 32
-        bt_c[:, None].astype(f32),                          # 33
+        sdyn_c[:, None].astype(f32),                        # 33 solver-dyn
         _soft_ccd_cols(bodies, colliders, safe_p, parent, dt),  # 34:38
     ], axis=1)
     n_staged_cols = cols.shape[1]        # 38 today; derived, never hardcoded
@@ -487,8 +490,8 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
             T1[31].astype(jnp.int32) | T2[31].astype(jnp.int32)
         ),
         force_threshold=jnp.minimum(T1[32], T2[32]),
-        dyn1=(b1 >= 0) & (T1[33].astype(jnp.int32) == int(BodyType.DYNAMIC)),
-        dyn2=(b2 >= 0) & (T2[33].astype(jnp.int32) == int(BodyType.DYNAMIC)),
+        dyn1=(b1 >= 0) & (T1[33] > 0.0),
+        dyn2=(b2 >= 0) & (T2[33] > 0.0),
         body1=b1, body2=b2, pair_key=pair_key,
         normal=normal, point=point, dist=dist, fid=fid,
         point_valid=pvalid & pair_valid[None, :],
@@ -641,8 +644,12 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
     b2 = jnp.where(lane_ok, colliders.parent[hi_c], -1)
     bt1 = jnp.where(b1 >= 0, bodies.body_type[jnp.maximum(b1, 0)], int(BodyType.FIXED))
     bt2 = jnp.where(b2 >= 0, bodies.body_type[jnp.maximum(b2, 0)], int(BodyType.FIXED))
-    dom1 = jnp.where(bt1 == BodyType.DYNAMIC, bodies.dominance[jnp.maximum(b1, 0)], 127)
-    dom2 = jnp.where(bt2 == BodyType.DYNAMIC, bodies.dominance[jnp.maximum(b2, 0)], 127)
+    sd1 = (bt1 == BodyType.DYNAMIC) | (
+        (b1 >= 0) & bodies.mb_link[jnp.maximum(b1, 0)])
+    sd2 = (bt2 == BodyType.DYNAMIC) | (
+        (b2 >= 0) & bodies.mb_link[jnp.maximum(b2, 0)])
+    dom1 = jnp.where(sd1, bodies.dominance[jnp.maximum(b1, 0)], 127)
+    dom2 = jnp.where(sd2, bodies.dominance[jnp.maximum(b2, 0)], 127)
     rel_dom = jnp.where(b1 >= 0, dom1, 127) - jnp.where(b2 >= 0, dom2, 127)
 
     sensor = colliders.sensor[lo_c] | colliders.sensor[hi_c]
@@ -672,8 +679,8 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
             colliders.contact_force_event_threshold[lo_c],
             colliders.contact_force_event_threshold[hi_c],
         ),
-        dyn1=(b1 >= 0) & (bt1 == BodyType.DYNAMIC),
-        dyn2=(b2 >= 0) & (bt2 == BodyType.DYNAMIC),
+        dyn1=(b1 >= 0) & sd1,
+        dyn2=(b2 >= 0) & sd2,
         body1=b1, body2=b2, pair_key=pair_key,
         # Mesh lanes are few; computed row-major above, transposed to the
         # lane-last ManifoldBatch layout here at the boundary.

@@ -43,6 +43,18 @@ def from_scaled_axis(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 # -- algebra ---------------------------------------------------------------
 
 
+def to_scaled_axis(q: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Logarithm map: unit quaternion -> rotation vector (axis * angle),
+    shortest arc."""
+    q = jnp.where(q[..., 3:4] < 0.0, -q, q)
+    v = q[..., :3]
+    s = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(s, q[..., 3:4])
+    # Small-angle limit: angle/s -> 2/w -> 2 for a unit quaternion.
+    factor = jnp.where(s < 1e-6, 2.0, angle / jnp.maximum(s, eps))
+    return v * factor
+
+
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Hamilton product a ⊗ b."""
     ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]

@@ -138,25 +138,32 @@ def step(state: SceneState, params: SimParams, hooks=None):
     n = bodies.n
 
     # ------------------------------------------------------------------
-    # 0. Multibody articulations (reduced coordinates): generalized-space
-    #    forward dynamics + integration writes the links' NEXT poses; the
-    #    links are kinematic-position-based bodies, so the standard kinematic
-    #    machinery below derives their contact velocities and advances their
-    #    poses (reference: Multibody::forward_kinematics+update_rigid_bodies
-    #    at physics_pipeline.rs:579-584; one-way contact coupling for now).
+    # 0. Multibody articulations (reduced coordinates), phase A:
+    #    generalized forward dynamics -> tentative qd; tentative link
+    #    velocities (J qd) land in the body set.  Joint integration + FK
+    #    happen AFTER the contact solve (phase C, absorb_contact_impulses),
+    #    so contacts feed back into the articulation — two-way coupling
+    #    (reference: generic constraint rows spanning the generalized dofs,
+    #    generic_contact_constraint.rs:392; see dynamics/multibody.py).
     # ------------------------------------------------------------------
     multibodies = state.multibodies
+    mb_aux = None
     if multibodies is not None:
         from rapier_tpu.dynamics import multibody as mbmod
 
-        multibodies, bodies, _mbaux = mbmod.step_multibodies(
-            multibodies, bodies, params.gravity, params.dt, next_only=True
+        multibodies, bodies, mb_aux = mbmod.predict_velocities(
+            multibodies, bodies, params.gravity, params.dt
         )
 
     # ------------------------------------------------------------------
     # 1. Kinematic velocity interpolation (physics_pipeline.rs:412-438).
+    #    Multibody links are excluded: their velocities come from J qd
+    #    (phase A above), not from next-pose differencing.
     # ------------------------------------------------------------------
-    kin_pos = bodies.body_type == BodyType.KINEMATIC_POSITION_BASED
+    kin_pos = (
+        (bodies.body_type == BodyType.KINEMATIC_POSITION_BASED)
+        & ~bodies.mb_link
+    )
     inv_dt = params.inv_dt()
     com_now = bodies.pos + quat.rotate(bodies.rot, bodies.local_com)
     com_next = bodies.next_pos + quat.rotate(bodies.next_rot, bodies.local_com)
@@ -200,8 +207,13 @@ def step(state: SceneState, params: SimParams, hooks=None):
     mesh_lanes = params.max_mesh_pairs * params.tris_per_pair if has_meshes else 0
     convex_pairs = max_pairs - mesh_lanes
     assert convex_pairs > 0, "max_pairs too small for the mesh-lane reservation"
+    # Links present as DYNAMIC to the pair filter so link-vs-static pairs
+    # survive (they receive impulses via the articulated mobility).
+    bp_body_type = jnp.where(
+        bodies.mb_link, int(BodyType.DYNAMIC), bodies.body_type
+    )
     c1, c2, pair_valid, bp_overflow = broadphase.find_pairs(
-        mins, maxs, colliders, bodies.body_type, convex_pairs,
+        mins, maxs, colliders, bp_body_type, convex_pairs,
         params.broad_phase, params.sap_window,
     )
 
@@ -344,6 +356,12 @@ def step(state: SceneState, params: SimParams, hooks=None):
     # ------------------------------------------------------------------
     active = bodies.enabled & ~sleeping
     sb = vs.make_solver_bodies(bodies, active, params)
+    if multibodies is not None:
+        # Phase B: link columns get their articulated mobility (diag blocks
+        # of J A^-1 J^T) so contact denominators feel the articulation.
+        from rapier_tpu.dynamics import multibody as mbmod
+
+        sb = mbmod.install_link_mobility(sb, multibodies, mb_aux, bodies)
 
     # Pairs where one side is sleeping never reach the solver (both sleep
     # together or the awake side woke them above).
@@ -514,6 +532,15 @@ def step(state: SceneState, params: SimParams, hooks=None):
         if joints is not None and joint_rows is not None:
             joints = joints.replace(impulses=joint_rows.impulse)
     bodies = vs.writeback(bodies, sb, active, params)
+
+    if multibodies is not None:
+        # Phase C: project link velocity deltas into generalized space,
+        # integrate joints, FK, write link next poses + final velocities.
+        from rapier_tpu.dynamics import multibody as mbmod
+
+        multibodies, bodies = mbmod.absorb_contact_impulses(
+            multibodies, bodies, sb, mb_aux, params.dt
+        )
 
     # ------------------------------------------------------------------
     # 7. CCD motion clamping + advance to final positions

@@ -1128,6 +1128,9 @@ class PhysicsWorld:
             for li, b in enumerate(order):
                 arr["link_valid"][ti, li] = True
                 arr["link_body"][ti, li] = b
+                # Links take part in the contact solve with articulated
+                # mobility (two-way coupling, dynamics/multibody.py).
+                bodies["mb_link"][b] = True
                 if li == 0:
                     root_dynamic = (
                         bodies["body_type"][b] == int(BodyType.DYNAMIC)

@@ -196,3 +196,116 @@ def test_pipeline_links_push_rigid_bodies():
     assert abs(p[0]) > 1.0, f"ball should be knocked away, at {p}"
     q = w.multibody_q(0)
     assert np.isfinite(q).all()
+
+
+def test_twoway_free_multibody_rests_on_ground():
+    # Two-way coupling: a FREE-root two-link multibody dropped on the ground
+    # must receive ground reaction through the articulation and come to rest
+    # on the floor instead of sinking (reference: generic contact rows,
+    # generic_contact_constraint.rs:392).
+    w = PhysicsWorld()
+    ground = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, -1, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(20, 1, 20), ground)
+    root = w.insert_body(RigidBodyBuilder.dynamic().with_translation((0, 1.0, 0)))
+    w.insert_collider(ColliderBuilder.ball(0.5).with_density(1.0), root)
+    child = w.insert_body(RigidBodyBuilder.dynamic().with_translation((1.2, 1.0, 0)))
+    w.insert_collider(ColliderBuilder.ball(0.5).with_density(1.0), child)
+    w.insert_multibody_joint(root, child, _rev_z().with_local_anchor1((1.2, 0, 0)))
+    w.build()
+    w.step(240)
+    for h in (root, child):
+        p = np.asarray(w.body_translation(h))
+        assert np.isfinite(p).all()
+        # Rest height = ball radius above the floor top (y=0), small tolerance.
+        assert 0.3 < p[1] < 0.7, f"link should rest ON the floor, y={p[1]}"
+
+
+def test_twoway_arm_blocked_by_fixed_wall():
+    # One-way coupling cannot stop an articulated arm with a FIXED obstacle
+    # (the wall can't be pushed away); two-way coupling must absorb the
+    # impulse into the generalized velocities and block the swing.
+    w = PhysicsWorld()
+    root = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, 2.0, 0)))
+    arm = w.insert_body(RigidBodyBuilder.dynamic().with_translation((0, 1.0, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(0.1, 1.0, 0.1).with_density(5.0), arm)
+    jb = _rev_z().with_local_anchor2((0.0, 1.0, 0.0))
+    w.insert_multibody_joint(root, arm, jb)
+    wall = w.insert_body(RigidBodyBuilder.fixed().with_translation((1.0, 0.6, 0)))
+    w.insert_collider(ColliderBuilder.cuboid(0.2, 0.6, 2.0), wall)
+    state = w.build()
+    # Tilt the arm and let gravity swing it into the wall.
+    mb = state.multibodies
+    q = np.asarray(mb.q).copy(); q[0, 1, 5] = 0.6
+    jr = np.asarray(mb.joint_rot).copy()
+    jr[0, 1] = [0, 0, np.sin(0.3), np.cos(0.3)]
+    w.state = state.replace(multibodies=mb.replace(q=q, joint_rot=jr))
+    w.step(300)
+    q = w.multibody_q(0)
+    assert np.isfinite(q).all()
+    # Arm tip swings toward -q direction; the wall at x=1.0 blocks it from
+    # swinging past.  Without coupling the angle blows through ~-0.6.
+    tip = np.asarray(w.body_translation(arm))
+    assert tip[0] < 0.95, f"arm sank into the fixed wall, tip x={tip[0]}"
+    assert abs(q[1, 5]) < 2.5, f"arm swung through the wall, q={q[1, 5]}"
+
+
+def test_inverse_kinematics_reaches_target():
+    # A 4-segment revolute chain (multibody_ik.rs test): DLS IK brings the
+    # end link's origin to a reachable target.
+    w = PhysicsWorld()
+    root = w.insert_body(RigidBodyBuilder.fixed())
+    prev = root
+    bodies_h = []
+    for i in range(4):
+        b = w.insert_body(
+            RigidBodyBuilder.dynamic().with_translation((0, -(i + 1), 0)))
+        w.insert_collider(ColliderBuilder.ball(0.1).with_density(50.0), b)
+        w.insert_multibody_joint(prev, b, _rev_z().with_local_anchor2((0, 1, 0)))
+        prev = b
+        bodies_h.append(b)
+    state = w.build()
+    mb = jax.tree.map(jnp.asarray, state.multibodies)
+    bodies = jax.tree.map(jnp.asarray, state.bodies)
+
+    target = jnp.array([[2.0, -2.0, 0.0]])
+    tid = jnp.array([4], jnp.int32)          # end link slot
+    trot = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    mb2 = mbmod.inverse_kinematics(
+        mb, bodies, tid, target, trot,
+        damping=0.5, max_iters=40, constrained_axes=0b000111,  # position only
+    )
+    n = bodies.pos.shape[0]
+    lb0 = jnp.clip(mb2.link_body[:, 0], 0, n - 1)
+    l2w_pos, _ = mbmod.forward_kinematics(
+        mb2, bodies, bodies.pos[lb0], bodies.rot[lb0])
+    end = np.asarray(l2w_pos)[0, 4]
+    assert np.linalg.norm(end - np.asarray(target)[0]) < 2e-3, end
+    # qd must be untouched by the IK iterations.
+    np.testing.assert_allclose(np.asarray(mb2.qd), np.asarray(mb.qd))
+
+
+def test_inverse_kinematics_respects_frozen_joints():
+    # joint_can_move=False freezes a link's dofs (multibody_ik.rs:104-125).
+    w = PhysicsWorld()
+    root = w.insert_body(RigidBodyBuilder.fixed())
+    prev = root
+    for i in range(3):
+        b = w.insert_body(
+            RigidBodyBuilder.dynamic().with_translation((0, -(i + 1), 0)))
+        w.insert_collider(ColliderBuilder.ball(0.1).with_density(50.0), b)
+        w.insert_multibody_joint(prev, b, _rev_z().with_local_anchor2((0, 1, 0)))
+        prev = b
+    state = w.build()
+    mb = jax.tree.map(jnp.asarray, state.multibodies)
+    bodies = jax.tree.map(jnp.asarray, state.bodies)
+    can_move = np.ones((mb.m, mb.l), bool)
+    can_move[0, 1] = False                    # first joint frozen
+    mb2 = mbmod.inverse_kinematics(
+        mb, bodies, jnp.array([3], jnp.int32),
+        jnp.array([[1.0, -2.2, 0.0]]), jnp.array([[0.0, 0.0, 0.0, 1.0]]),
+        damping=0.5, max_iters=30, constrained_axes=0b000111,
+        joint_can_move=jnp.asarray(can_move),
+    )
+    q2 = np.asarray(mb2.q)
+    assert abs(q2[0, 1, 5]) < 1e-7, "frozen joint moved"
+    assert abs(q2[0, 2, 5]) + abs(q2[0, 3, 5]) > 0.1, "chain did not move"
