@@ -55,6 +55,7 @@ class Multibodies:
     # Joint model per link (joint connects the link to its parent).
     locked_axes: jax.Array   # [M, L] int32 JointAxesMask bits (free = 0 bit)
     kinematic: jax.Array     # [M, L] bool — dofs driven, not simulated
+    contacts_enabled: jax.Array  # [M, L] bool — link-vs-parent contacts
     local_pos1: jax.Array    # [M, L, 3] joint frame in parent
     local_rot1: jax.Array    # [M, L, 4]
     local_pos2: jax.Array    # [M, L, 3] joint frame in child
@@ -110,6 +111,7 @@ def empty_multibodies(m: int, l: int, k_couplings: int = 4) -> Multibodies:
         link_body=np.full((m, l), -1, np.int32),
         locked_axes=np.full((m, l), 0b111111, np.int32),
         kinematic=np.zeros((m, l), bool),
+        contacts_enabled=np.ones((m, l), bool),
         local_pos1=f(m, l, 3), local_rot1=qid.copy(),
         local_pos2=f(m, l, 3), local_rot2=qid.copy(),
         q=f(m, l, 6), joint_rot=qid.copy(), qd=f(m, l * SPATIAL),
@@ -319,10 +321,16 @@ def mass_matrix(mb: Multibodies, jac, l2w_rot, mass, principal, pframe,
     )
 
     live = live_mask(mb)                               # [M, D6]
+    # Motor PD gains ride the same implicit diagonals as joint damping /
+    # springs (the reference solves motors as constraint rows, i.e. fully
+    # implicitly, motor_model SpringBased unit_joint.rs): explicit PD at
+    # robotics-grade kp/kv violates the explicit stability bound kv*dt/I < 2
+    # and oscillates into the limits.
     diag_extra = (
         mb.armature.reshape(m, d6)
-        + mb.damping.reshape(m, d6) * dt
-        + mb.spring_stiffness.reshape(m, d6) * dt * dt
+        + (mb.damping.reshape(m, d6) + mb.motor_damping.reshape(m, d6)) * dt
+        + (mb.spring_stiffness.reshape(m, d6)
+           + mb.motor_stiffness.reshape(m, d6)) * dt * dt
     )
     # Zero dead rows/cols, then put 1 on dead diagonals (invertible) and the
     # damping/armature/spring terms on live diagonals.
@@ -432,8 +440,11 @@ def generalized_forces(mb: Multibodies, jac, coms, anchors, l2w_rot, mass,
     ms = mb.motor_stiffness.reshape(m, d6)
     md = mb.motor_damping.reshape(m, d6)
     tmax = jnp.minimum(mb.motor_max_force.reshape(m, d6), 3.4e38)
+    # Position error at the PREDICTED coordinate (q + dt*qd), matching the
+    # implicit spring above; the dt*md / dt^2*ms mass-matrix diagonals
+    # (mass_matrix) complete the semi-implicit treatment.
     tau_motor = (
-        ms * (mb.motor_target_pos.reshape(m, d6) - q_flat)
+        ms * (mb.motor_target_pos.reshape(m, d6) - q_flat - dt * mb.qd)
         + md * (mb.motor_target_vel.reshape(m, d6) - mb.qd)
     )
     tau = tau + jnp.clip(tau_motor, -tmax, tmax)

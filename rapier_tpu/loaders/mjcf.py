@@ -94,10 +94,23 @@ class MjcfRobotHandles:
     joint_order: list = field(default_factory=list)  # qpos order (1-dof joints)
     keyframes: dict = field(default_factory=dict)    # key name -> qpos array
     sensors: list = field(default_factory=list)      # [(name, kind, joint)]
+    use_multibody: bool = False
+    _mb_slots: dict = field(default_factory=dict)    # joint name -> (tree, link)
+
+    def _mb_slot(self, world: PhysicsWorld, jname: str) -> tuple:
+        """(tree, link) articulation slot of a multibody-inserted joint."""
+        if jname not in self._mb_slots:
+            child = world._pending_mb_joints[self.joints[jname]][2]
+            self._mb_slots[jname] = world.multibody_link_of(child)
+        return self._mb_slots[jname]
 
     def joint_value(self, world: PhysicsWorld, jname: str) -> float:
         """Current 1-dof joint coordinate (revolute angle / prismatic
         displacement) read from the attached bodies' poses."""
+        if self.use_multibody:
+            ti, li = self._mb_slot(world, jname)
+            ax = self.joint_axis[jname]
+            return float(np.asarray(world.state.multibodies.q)[ti, li, ax])
         j = self.joints[jname]
         joints = world.state.joints
         b1 = int(np.asarray(joints.body1[j]))
@@ -124,6 +137,11 @@ class MjcfRobotHandles:
         return float(np.dot(p2 - p1, axis_w))
 
     def joint_velocity(self, world: PhysicsWorld, jname: str) -> float:
+        if self.use_multibody:
+            ti, li = self._mb_slot(world, jname)
+            ax = self.joint_axis[jname]
+            mb = world.state.multibodies
+            return float(np.asarray(mb.qd)[ti].reshape(mb.l, 6)[li, ax])
         j = self.joints[jname]
         joints = world.state.joints
         b1 = int(np.asarray(joints.body1[j]))
@@ -159,12 +177,38 @@ class MjcfRobotHandles:
 
     def apply_keyframe(self, world: PhysicsWorld, name: str):
         """Drive position-actuated joints to a keyframe's qpos (reference
-        runtime.rs keyframe utilities).  Divergence note: impulse-joint
-        robots are driven through their motors rather than teleported —
-        exact qpos teleport lands with multibody state."""
+        runtime.rs keyframe utilities).  Multibody-inserted robots teleport
+        exactly (generalized coords set directly, dof velocity zeroed; link
+        poses realize through FK on the next step); impulse-joint robots are
+        driven through their motors instead."""
         import jax.numpy as jnp
 
         q = self.keyframes[name]
+        if self.use_multibody:
+            mb = world.state.multibodies
+            mq = jnp.asarray(mb.q)
+            jr = jnp.asarray(mb.joint_rot)
+            qd = jnp.asarray(mb.qd)
+            for val, jname in zip(q, self.joint_order):
+                if jname not in self.joints:
+                    continue
+                ti, li = self._mb_slot(world, jname)
+                ax = self.joint_axis[jname]
+                mq = mq.at[ti, li, ax].set(float(val))
+                qd = qd.at[ti, li * 6 + ax].set(0.0)
+                if ax >= 3:
+                    # 1-dof hinge: joint_rot = axis_angle(slot axis, angle)
+                    # (multibody integrate keeps these in sync).
+                    e = np.zeros(3, np.float32)
+                    e[ax - 3] = 1.0
+                    half = 0.5 * float(val)
+                    rot = np.concatenate(
+                        [np.sin(half) * e, [np.cos(half)]]
+                    ).astype(np.float32)
+                    jr = jr.at[ti, li].set(rot)
+            world.state = world.state.replace(multibodies=mb.replace(
+                q=mq, joint_rot=jr, qd=qd))
+            return
         joints = world.state.joints
         tp = jnp.asarray(joints.motor_target_pos)
         ms = jnp.asarray(joints.motor_stiffness)
@@ -191,6 +235,23 @@ class MjcfRobotHandles:
         motor -> target velocity scaled by gear; position -> motor target
         position; velocity -> motor target velocity."""
         import jax.numpy as jnp
+
+        if self.use_multibody:
+            mb = world.state.multibodies
+            tp = jnp.asarray(mb.motor_target_pos)
+            tv = jnp.asarray(mb.motor_target_vel)
+            for a, u in zip(self.actuators, np.asarray(ctrl)):
+                if a.joint not in self.joints:
+                    continue
+                ti, li = self._mb_slot(world, a.joint)
+                ax = self.joint_axis[a.joint]
+                if a.kind == "position":
+                    tp = tp.at[ti, li, ax].set(float(u) * a.gear)
+                else:
+                    tv = tv.at[ti, li, ax].set(float(u) * a.gear)
+            world.state = world.state.replace(multibodies=mb.replace(
+                motor_target_pos=tp, motor_target_vel=tv))
+            return
 
         joints = world.state.joints
         # Fresh builds carry numpy leaves; .at[] needs device arrays.
@@ -359,8 +420,15 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
 
     Note: MJCF is Z-up; scenes built purely from MJCF should set
     world gravity accordingly (e.g. (0, 0, -9.81)) or rotate at insertion.
+
+    `use_multibody=True` inserts the articulation with reduced-coordinate
+    multibody joints (reference rapier3d-mjcf insert_using_multibody_joints,
+    crates/rapier3d-mjcf/src/conversion.rs) — exact joint kinematics, contacts
+    coupled through the articulated mobility; `handles.joints` then maps
+    joint names to pending multibody-joint ids and the handle accessors
+    (joint_value / apply_controls / apply_keyframe) read and drive the
+    generalized coordinates directly.
     """
-    del use_multibody  # reduced-coordinate articulations: later round
     if os.path.exists(path_or_string):
         tree = ET.parse(path_or_string)
         root = tree.getroot()
@@ -396,8 +464,14 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                 )
 
     handles = MjcfRobotHandles()
+    handles.use_multibody = use_multibody
     rt = np.asarray(root_translation, float)
     _anchor = [None]
+
+    def insert_joint(p_handle, child_handle, gb):
+        if use_multibody:
+            return world.insert_multibody_joint(p_handle, child_handle, gb)
+        return world.insert_impulse_joint(p_handle, child_handle, gb)
 
     def world_anchor():
         """Lazy fixed body at the origin: the joint anchor for top-level
@@ -464,7 +538,7 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                 gb.with_local_anchor1(tuple(a_pos)).with_contacts_enabled(False)
                 base1 = np.asarray(gb.local_frame_rot1)
                 gb.local_frame_rot1 = tuple(_quat_mul(a_rot, base1))
-                world.insert_impulse_joint(p_handle, h, gb)
+                insert_joint(p_handle, h, gb)
             elif not has_free and joints and p_handle is not None:
                 j = joints[0]
                 attrs = defaults.resolve("joint", j.attrib, j.get("class", bcls))
@@ -506,9 +580,7 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                     if "damping" in attrs and float(attrs["damping"]) > 0:
                         gb.with_motor_velocity(ax_slot, 0.0, float(attrs["damping"]))
                     name = j.get("name", f"joint{h}")
-                    handles.joints[name] = world.insert_impulse_joint(
-                        p_handle, h, gb
-                    )
+                    handles.joints[name] = insert_joint(p_handle, h, gb)
                     handles.joint_axis[name] = ax_slot
                     handles.joint_order.append(name)
             walk(b, h, wpos, wrot, bcls, False)
@@ -541,13 +613,14 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
             j = handles.joints.get(jname)
             if j is not None and world.state is None:
                 ax = handles.joint_axis[jname]
-                for gbj, b1, b2 in [world._pending_joints[j]]:
-                    if a.tag == "position":
-                        gbj.with_motor_position(ax, 0.0, kp, kv if kv > 0 else kp * 0.1)
-                    elif a.tag == "velocity":
-                        gbj.with_motor_velocity(ax, 0.0, kv if kv > 0 else 10.0)
-                    else:
-                        gbj.with_motor_velocity(ax, 0.0, 0.0)
+                gbj = (world._pending_mb_joints[j][0] if use_multibody
+                       else world._pending_joints[j][0])
+                if a.tag == "position":
+                    gbj.with_motor_position(ax, 0.0, kp, kv if kv > 0 else kp * 0.1)
+                elif a.tag == "velocity":
+                    gbj.with_motor_velocity(ax, 0.0, kv if kv > 0 else 10.0)
+                else:
+                    gbj.with_motor_velocity(ax, 0.0, 0.0)
 
     # Keyframes (reference keyframe/mocap utilities, runtime.rs:677-760).
     kf = root.find("keyframe")

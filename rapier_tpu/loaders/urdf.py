@@ -81,6 +81,7 @@ class UrdfRobotHandles:
     bodies: dict = field(default_factory=dict)   # link name -> body handle
     joints: dict = field(default_factory=dict)   # joint name -> joint handle
     joint_names: list = field(default_factory=list)
+    use_multibody: bool = False
 
 
 def _geometry_collider(geom_elem, mesh_dir: str) -> Optional[ColliderBuilder]:
@@ -173,11 +174,15 @@ def _load_mesh_file(path: str):
 
 def load_urdf(path_or_string: str, world: PhysicsWorld, *,
               root_translation=(0.0, 0.0, 0.0), fixed_base: bool = False,
-              mesh_dir: Optional[str] = None) -> UrdfRobotHandles:
+              mesh_dir: Optional[str] = None,
+              use_multibody: bool = False) -> UrdfRobotHandles:
     """Parse URDF and insert the robot into `world`.
 
     Mirrors UrdfRobot::from_file + insert_using_impulse_joints
-    (crates/rapier3d-urdf/src/lib.rs:243+).
+    (crates/rapier3d-urdf/src/lib.rs:243+); `use_multibody=True` mirrors
+    insert_using_multibody_joints — reduced-coordinate articulation with
+    exact joint kinematics, `handles.joints` holding pending multibody-joint
+    ids (map to (tree, link) via world.multibody_link_of after build()).
     """
     if os.path.exists(path_or_string):
         tree = ET.parse(path_or_string)
@@ -201,7 +206,7 @@ def load_urdf(path_or_string: str, world: PhysicsWorld, *,
         child_links.add(child)
     roots = [name for name in links if name not in child_links]
 
-    handles = UrdfRobotHandles()
+    handles = UrdfRobotHandles(use_multibody=use_multibody)
     world_pose: dict[str, tuple] = {}
     rt = np.asarray(root_translation, float)
 
@@ -284,9 +289,14 @@ def load_urdf(path_or_string: str, world: PhysicsWorld, *,
                 axis_idx = 3 if jtype == "revolute" else 0
                 gb.with_limits(axis_idx, lo, hi)
 
-        hj = world.insert_impulse_joint(
-            handles.bodies[pname], handles.bodies[cname], gb
-        )
+        if use_multibody:
+            hj = world.insert_multibody_joint(
+                handles.bodies[pname], handles.bodies[cname], gb
+            )
+        else:
+            hj = world.insert_impulse_joint(
+                handles.bodies[pname], handles.bodies[cname], gb
+            )
         handles.joints[j.get("name")] = hj
         handles.joint_names.append(j.get("name"))
 

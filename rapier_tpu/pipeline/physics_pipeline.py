@@ -279,18 +279,36 @@ def step(state: SceneState, params: SimParams, hooks=None):
     started = man.touching & ~prev_touch
 
     # Joint-attached pairs with contacts disabled are filtered out
-    # (reference narrow_phase.rs:853-874 joint filter).
+    # (reference narrow_phase.rs:853-874 joint filter) — impulse joints AND
+    # multibody link-vs-parent edges share one sorted key table.
     joints = state.joints
+    jkeys = []
+    imax = jnp.iinfo(jnp.int32).max
     if joints is not None:
         jb1 = jnp.minimum(joints.body1, joints.body2)
         jb2 = jnp.maximum(joints.body1, joints.body2)
         no_contact = joints.enabled & ~joints.contacts_enabled & (jb1 >= 0)
-        jkey = jnp.where(no_contact, jb1 * n + jb2, jnp.iinfo(jnp.int32).max)
-        jkey_sorted = jnp.sort(jkey)
+        jkeys.append(jnp.where(no_contact, jb1 * n + jb2, imax))
+    if multibodies is not None:
+        lb = multibodies.link_body                       # [M, L]
+        lp = jnp.clip(multibodies.link_parent, 0, multibodies.l - 1)
+        pb = jnp.take_along_axis(lb, lp, axis=1)         # parent link's body
+        no_c = (
+            multibodies.link_valid & ~multibodies.contacts_enabled
+            & (multibodies.link_parent >= 0) & (lb >= 0) & (pb >= 0)
+            & (pb != lb)
+        )
+        k1 = jnp.minimum(lb, pb)
+        k2 = jnp.maximum(lb, pb)
+        jkeys.append(jnp.where(no_c, k1 * n + k2, imax).reshape(-1))
+    if jkeys:
+        jkey_sorted = jnp.sort(jnp.concatenate(jkeys))
         mb1 = jnp.minimum(man.body1, man.body2)
         mb2 = jnp.maximum(man.body1, man.body2)
         mkey = jnp.where((mb1 >= 0), mb1 * n + mb2, -1)
-        jpos = jnp.clip(jnp.searchsorted(jkey_sorted, mkey), 0, joints.n - 1)
+        jpos = jnp.clip(
+            jnp.searchsorted(jkey_sorted, mkey), 0, jkey_sorted.shape[0] - 1
+        )
         joint_blocked = jkey_sorted[jpos] == mkey
         man = man._replace(solver_pair=man.solver_pair & ~joint_blocked)
 

@@ -1148,6 +1148,7 @@ class PhysicsWorld:
                 arr["link_parent"][ti, li] = body_to_link[parent_b]
                 arr["locked_axes"][ti, li] = jb.locked_axes
                 arr["kinematic"][ti, li] = kin
+                arr["contacts_enabled"][ti, li] = jb.contacts_enabled
                 arr["local_pos1"][ti, li] = jb.local_anchor1
                 arr["local_rot1"][ti, li] = _as_quat(jb.local_frame_rot1)
                 arr["local_pos2"][ti, li] = jb.local_anchor2
@@ -1468,6 +1469,16 @@ class PhysicsWorld:
     def multibody_q(self, tree: int = 0) -> np.ndarray:
         """[L, 6] generalized coordinates of articulation `tree`."""
         return np.asarray(self.state.multibodies.q[tree])
+
+    def multibody_link_of(self, body) -> tuple:
+        """(tree, link) slot of the articulation link driving `body`
+        (reference MultibodyJointSet::attached_multibody)."""
+        b = self._resolve(body, getattr(self, "_body_gen", None)) \
+            if isinstance(body, BodyHandle) else int(body)
+        for ti, order in enumerate(getattr(self, "_mb_trees", []) or []):
+            if b in order:
+                return ti, order.index(b)
+        raise KeyError(f"body {body} is not a multibody link")
 
     def multibody_qd(self, tree: int = 0) -> np.ndarray:
         import jax.numpy as jnp

@@ -108,3 +108,49 @@ def test_mjcf_include_keyframes_sensors(tmp_path):
     assert abs(vals["q_shoulder"] - 0.5) < 0.15, vals
     assert abs(vals["dq_shoulder"]) < 0.5
     assert np.isfinite(vals["p_upper"]).all()
+
+
+def test_mjcf_use_multibody_actuated_swing():
+    """use_multibody=True inserts the articulation with reduced-coordinate
+    joints (rapier3d-mjcf insert_using_multibody_joints,
+    crates/rapier3d-mjcf/src/conversion.rs): velocity actuator drives the
+    generalized dof, limits clamp it, sensors read q/qd."""
+    w = PhysicsWorld(gravity=(0, 0, -9.81))
+    h = load_mjcf(MODEL, w, use_multibody=True)
+    assert h.use_multibody
+    w.build()
+    assert w.state.multibodies is not None
+    ti, li = h._mb_slot(w, "swing")
+    h.apply_controls(w, [1.0])  # 1 rad/s velocity target
+    w.step(150)                 # 2.5 s: enough to reach the 90deg limit
+    arm = w.body_translation(h.bodies["arm"])
+    assert np.isfinite(arm).all()
+    # Hinge anchor holds exactly (reduced coordinates can't drift).
+    np.testing.assert_allclose(arm, [0, 0, 0.9], atol=1e-5)
+    val = h.joint_value(w, "swing")
+    assert 0.5 < abs(val) <= 1.58, f"hinge angle {val}"
+    assert np.isfinite(h.joint_velocity(w, "swing"))
+
+
+def test_mjcf_use_multibody_keyframe_teleports():
+    w = PhysicsWorld(gravity=(0, 0, 0))
+    model = """
+<mujoco>
+  <worldbody>
+    <body name="upper" pos="0 0 1">
+      <joint name="shoulder" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 0 0 -0.5" size="0.05"/>
+    </body>
+  </worldbody>
+  <keyframe><key name="home" qpos="0.5"/></keyframe>
+  <sensor><jointpos name="q_shoulder" joint="shoulder"/></sensor>
+</mujoco>
+"""
+    h = load_mjcf(model, w, use_multibody=True)
+    w.build()
+    h.apply_keyframe(w, "home")
+    # Teleport is exact in generalized coords (reference keyframe apply).
+    assert abs(h.joint_value(w, "shoulder") - 0.5) < 1e-6
+    w.step(1)  # FK realizes the link pose; no gravity so q stays put
+    vals = h.read_sensors(w)
+    assert abs(vals["q_shoulder"] - 0.5) < 5e-2, vals

@@ -94,3 +94,30 @@ def test_binary_stl_loads(tmp_path):
     assert faces.shape == (1, 3)
     assert verts.shape[0] == 3
     np.testing.assert_allclose(sorted(verts[:, 0]), [0.0, 0.0, 1.0])
+
+
+def test_urdf_use_multibody_pendulum():
+    """use_multibody=True mirrors insert_using_multibody_joints
+    (crates/rapier3d-urdf/src/lib.rs): the chain becomes one articulation,
+    anchors hold exactly, limits clamp the shoulder."""
+    w = PhysicsWorld(gravity=(-3.0, -9.81, 0.0))
+    h = load_urdf(PENDULUM, w, root_translation=(0, 2, 0), fixed_base=True,
+                  use_multibody=True)
+    assert h.use_multibody
+    w.build()
+    assert w.state.multibodies is not None
+    ti, li = w.multibody_link_of(h.bodies["arm1"])
+    w.step(180)
+    p_base = np.asarray(w.body_translation(h.bodies["base"]))
+    p1 = np.asarray(w.body_translation(h.bodies["arm1"]))
+    p2 = np.asarray(w.body_translation(h.bodies["arm2"]))
+    assert np.isfinite(p1).all() and np.isfinite(p2).all()
+    # Reduced coordinates: anchor distances hold exactly (1e-5, not 5e-2).
+    np.testing.assert_allclose(np.linalg.norm(p1 - p_base), 0.1, atol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(p2 - p1), 0.5, atol=1e-4)
+    # The sideways pull swung the chain.
+    assert abs(p2[0] - 0.0) > 0.05
+    q = np.asarray(w.multibody_q(ti))
+    assert np.isfinite(q).all()
+    # Shoulder limit: |angle| <= 2.0 rad.
+    assert abs(q[li, 3]) <= 2.01
