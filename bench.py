@@ -50,8 +50,14 @@ def main():
         stack = int(os.environ.get("BENCH_STACK", "16"))
         n_scenes = 1
         world = pyramid3_world(stack_height=stack)
+        # Solver-lane compaction: a settled box pyramid touches ~5 pairs per
+        # box; the cap bounds the O(substeps x colors) sweep width.
+        n_boxes = sum((stack - i) ** 2 for i in range(stack))
+        cap = int(os.environ.get(
+            "BENCH_SOLVER_PAIRS", -((-6 * n_boxes) // 128) * 128))
         world.params = world.params.replace(
             broad_phase=int(BroadPhaseKind.SAP), sap_window=96,
+            max_solver_pairs=cap,
         )
         state0 = world.build()
         batch = jax.device_put(

@@ -20,6 +20,8 @@ from rapier_tpu.types import BodyType
 MAX_CCD_PAIRS = 128
 MAX_PAIRS_PER_COLLIDER = 16   # per-collider fairness cap (no scene hogging)
 _BISECT_ITERS = 16
+MAX_CCD_MESH_PAIRS = 16       # (ccd convex, mesh collider) lanes
+TRIS_PER_CCD_PAIR = 8         # nearest-to-sweep triangles per mesh lane
 
 
 def _pair_distance(colliders, cA, cB, posA, rotA, posB, rotB):
@@ -46,13 +48,31 @@ def _pair_distance(colliders, cA, cB, posA, rotA, posB, rotB):
     return jnp.where(is_hs_b, d_hs, d_cc)
 
 
-def clamp_motions(bodies, colliders, params):
+def clamp_motions(bodies, colliders, params, meshes=None):
     """Clamp `next_pos` of CCD-enabled fast bodies to their first impact.
 
-    Returns (updated bodies, dropped-candidate count).  Candidate pairs: CCD
-    body's swept AABB vs all other colliders, per-collider capped by sweep
-    entry time, globally capped at MAX_CCD_PAIRS.
+    Runs `params.max_ccd_substeps` clamp passes (reference substep splitting,
+    physics_pipeline.rs:611-678): each pass re-evaluates every sweep against
+    the trajectories the PREVIOUS pass clamped, so a fast body stopping
+    mid-step re-routes other bodies' first impacts.  Divergence: within one
+    pass all bodies clamp to their own earliest TOI simultaneously (no global
+    TOI ordering), matching the reference's motion-clamping mode.
+
+    Returns (updated bodies, dropped-candidate count).
     """
+    total_overflow = jnp.int32(0)
+    for _ in range(max(1, int(params.max_ccd_substeps))):
+        bodies, ovf = _clamp_pass(bodies, colliders, params, meshes)
+        total_overflow = total_overflow + ovf
+    return bodies, total_overflow
+
+
+def _clamp_pass(bodies, colliders, params, meshes=None):
+    """One motion-clamping pass: candidate pairs are the CCD body's swept
+    AABB vs all other colliders (per-collider capped by sweep entry time,
+    globally capped at MAX_CCD_PAIRS) plus mesh colliders
+    (MAX_CCD_MESH_PAIRS lanes x TRIS_PER_CCD_PAIR nearest triangles,
+    ccd_solver.rs:149-280 mesh sweeps)."""
     n = bodies.n
     dyn = bodies.body_type == BodyType.DYNAMIC
     speed = jnp.linalg.norm(bodies.next_pos - bodies.pos, axis=-1)
@@ -92,7 +112,7 @@ def clamp_motions(bodies, colliders, params):
     cand = (
         coll_ccd[i_idx] & colliders.enabled[j_idx] & overlap & ~same_body
         & (i_idx != j_idx) & ~colliders.sensor[j_idx]
-        # Mesh CCD TODO: swept casts vs triangles land with the query pipeline.
+        # Mesh colliders take the dedicated triangle-sweep lanes below.
         & ~is_mesh_type(colliders.shape_type[j_idx])
         & ~is_mesh_type(colliders.shape_type[i_idx])
     )
@@ -178,10 +198,106 @@ def clamp_motions(bodies, colliders, params):
 
     tois = jax.vmap(toi_for_pair)(pi, pj, pvalid)
 
+    # ------------------------------------------------------------------
+    # Mesh CCD: (ccd convex, trimesh/heightfield) lanes, each sweeping
+    # against its TRIS_PER_CCD_PAIR nearest triangles (reference mesh TOI
+    # casts inside find_first_impact, ccd_solver.rs:149-280).
+    # ------------------------------------------------------------------
+    mesh_overflow = jnp.int32(0)
+    m_tois = m_body = None
+    if meshes is not None:
+        from rapier_tpu.geometry import narrowphase_mesh as npm
+
+        mesh_j = is_mesh_type(colliders.shape_type[j_idx])
+        cand_m = (
+            coll_ccd[i_idx] & colliders.enabled[j_idx] & overlap & ~same_body
+            & (i_idx != j_idx) & ~colliders.sensor[j_idx] & mesh_j
+            & ~is_mesh_type(colliders.shape_type[i_idx])
+        )
+        src_m, mvalid, mesh_overflow = compact_indices(
+            cand_m.reshape(-1), MAX_CCD_MESH_PAIRS)
+        mi = jnp.where(mvalid, i_idx[src_m], 0)
+        mj = jnp.where(mvalid, j_idx[src_m], 0)
+
+        tris = meshes.triangles                              # [T, 3]
+        tvs = meshes.vertices
+        tv0 = tvs[jnp.maximum(tris[:, 0], 0)]
+        tv1 = tvs[jnp.maximum(tris[:, 1], 0)]
+        tv2 = tvs[jnp.maximum(tris[:, 2], 0)]
+        tri_lo = jnp.minimum(jnp.minimum(tv0, tv1), tv2)
+        tri_hi = jnp.maximum(jnp.maximum(tv0, tv1), tv2)
+        tri_ctr = (tv0 + tv1 + tv2) / 3.0
+        tri_ok = tris[:, 0] >= 0
+        t_total = tris.shape[0]
+
+        def rank_tris(mi_l, mj_l, valid):
+            # i's swept world box into the mesh's local frame at t=0 (the
+            # conservative re-box used by the discrete mesh mid-phase).
+            lo_w, hi_w = swept_min[mi_l], swept_max[mi_l]
+            mp, mr = w_pos0[mj_l], w_rot0[mj_l]
+            ctr = quat.inv_rotate(mr, 0.5 * (lo_w + hi_w) - mp)
+            he_l = jnp.abs(quat.to_matrix(quat.conj(mr))) @ (
+                0.5 * (hi_w - lo_w))
+            lo, hi = ctr - he_l, ctr + he_l
+            start = colliders.shape_params[mj_l, 0].astype(jnp.int32)
+            count = colliders.shape_params[mj_l, 1].astype(jnp.int32)
+            t_ids = jnp.arange(t_total)
+            owned = (t_ids >= start) & (t_ids < start + count) & tri_ok
+            ov = owned & jnp.all((tri_lo <= hi) & (lo <= tri_hi), axis=-1)
+            # Nearest to the sweep START (mesh-local): first impacts win.
+            start_l = quat.inv_rotate(mr, ctr0[mi_l] - mp)
+            d = jnp.linalg.norm(tri_ctr - start_l[None, :], axis=-1)
+            order = jnp.argsort(jnp.where(ov, d, jnp.inf))
+            kept = order[:TRIS_PER_CCD_PAIR]
+            kept_ok = ov[kept] & valid
+            return kept, kept_ok
+
+        tids, tids_ok = jax.vmap(rank_tris)(mi, mj, mvalid)   # [M, K]
+
+        def mesh_toi(mi_l, mj_l, tid_l, tok_l, valid):
+            tA = colliders.shape_type[mi_l]
+            prmA = colliders.shape_params[mi_l]
+
+            def dist_at(t):
+                pa, ra = pose_at(mi_l, t)
+                pm, rm = pose_at(mj_l, t)
+
+                def tri_d(ti, ok):
+                    v0w = quat.transform_point(pm, rm, tvs[jnp.maximum(tris[ti, 0], 0)])
+                    v1w = quat.transform_point(pm, rm, tvs[jnp.maximum(tris[ti, 1], 0)])
+                    v2w = quat.transform_point(pm, rm, tvs[jnp.maximum(tris[ti, 2], 0)])
+                    g = npm.triangle_gap(pa, ra, tA, prmA, v0w, v1w, v2w)
+                    return jnp.where(ok, g, 1e10)
+
+                return jnp.min(jax.vmap(tri_d)(tid_l, tok_l))
+
+            n_coarse = 16
+            ts = jnp.arange(1, n_coarse + 1) / n_coarse
+            ds = jnp.stack([dist_at(t) for t in list(ts)])
+            d0 = dist_at(0.0)
+            neg = ds <= 0.0
+            any_neg = jnp.any(neg)
+            first = jnp.argmax(neg)
+            seg = 1.0 / n_coarse
+            lo = first.astype(jnp.float32) * seg
+            hi = (first + 1).astype(jnp.float32) * seg
+            no_hit = ~any_neg | (d0 <= 0.0)
+            for _ in range(_BISECT_ITERS):
+                mid = 0.5 * (lo + hi)
+                dm = dist_at(mid)
+                lo = jnp.where(dm > 0.0, mid, lo)
+                hi = jnp.where(dm > 0.0, hi, mid)
+            return jnp.where(valid & jnp.any(tok_l) & ~no_hit, lo, 1.0)
+
+        m_tois = jax.vmap(mesh_toi)(mi, mj, tids, tids_ok, mvalid)
+        m_body = jnp.where(mvalid, jnp.maximum(parent[mi], 0), n)
+
     # Min TOI per CCD body.
     body_toi = jnp.ones((n + 1,))
     tgt_b = jnp.where(pvalid, jnp.maximum(parent[pi], 0), n)
     body_toi = body_toi.at[tgt_b].min(tois)
+    if m_tois is not None:
+        body_toi = body_toi.at[m_body].min(m_tois)
     body_toi = body_toi[:n]
 
     clamp = ccd_active & (body_toi < 1.0)
@@ -193,4 +309,5 @@ def clamp_motions(bodies, colliders, params):
     r1f = jnp.where(jnp.sum(r0 * r1, -1, keepdims=True) < 0, -r1, r1)
     new_rot = jnp.where(
         clamp[:, None], quat.normalize(r0 + (r1f - r0) * t), bodies.next_rot)
-    return bodies.replace(next_pos=new_next, next_rot=new_rot), overflow
+    return (bodies.replace(next_pos=new_next, next_rot=new_rot),
+            overflow + mesh_overflow)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from rapier_tpu.math import quat
 from rapier_tpu.math.quat import cross_cl, dot_cl, rotate_cl
+from rapier_tpu.utils import routing
 
 
 class SolverBodies(NamedTuple):
@@ -87,12 +88,25 @@ class ContactConstraints(NamedTuple):
     cfm_factor: jax.Array           # scalar (set by update)
 
 
+class RoutePlan(NamedTuple):
+    """Index-mode lane<->body routing for large scenes: replaces the [K, N]
+    one-hot when it would exceed DENSE_ROUTE_ELEMS (utils/routing.py).
+    Gathers become takes; scatter-adds become sorted segment sums."""
+
+    idx: jax.Array               # [K] int32 target column per lane
+    seg: "routing.SegmentPlan"   # sorted-order plan over idx
+
+
 def _onehot(idx, n):
-    """Lane one-hot selection matrix: [K] int -> [K, n] f32, or scene-folded
+    """Lane routing: [K] int -> [K, n] f32 one-hot matrix, or scene-folded
     [S, P] int -> [S, P, n].  Gathers/scatter-adds become matmuls on this:
     TPU computed-index scatters serialize, the MXU doesn't.  broadcasted_iota
-    (not arange) so this also lowers inside Pallas kernels."""
+    (not arange) so this also lowers inside Pallas kernels.  Above the
+    dense-routing limit returns a RoutePlan instead (large single scenes;
+    _gather_cl/_scatter_add_cl dispatch on the type)."""
     if idx.ndim == 1:
+        if idx.shape[0] * n > routing.DENSE_ROUTE_ELEMS:
+            return RoutePlan(idx, routing.make_segment_plan(idx, n))
         ids = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
         return (idx[:, None] == ids).astype(jnp.float32)
     s, p = idx.shape
@@ -104,16 +118,19 @@ def _gather_cl(table, oh):
     """Gather table rows per lane via one-hot.
 
     Plain: table [d, N] @ oh [P, N] -> [d, P].
+    Index mode (RoutePlan, large scenes): one take per field.
     Scene-folded (S scenes per Pallas kernel instance, pallas_sweep.py):
     table [S, d, N], oh [S, P, N] -> [d, S, P] via a leading-batch
     dot_general (the only batched-matmul form Mosaic accepts), unpacked to
     component-leading with static row slices."""
+    if isinstance(oh, RoutePlan):
+        return jnp.take(table, oh.idx, axis=-1)
     if oh.ndim == 2:
         return table @ oh.T
     g = jax.lax.dot_general(
         table, oh,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=table.dtype,
     )  # [S, d, P]
     return jnp.stack([g[:, i, :] + 0.0 for i in range(g.shape[1])], axis=0)
 
@@ -122,15 +139,19 @@ def _scatter_add_cl(table, oh, values):
     """table += values routed by one-hot.
 
     Plain: table [d, N] += values [d, P] @ oh [P, N].
+    Index mode (RoutePlan): sorted segment sum (cumsum + boundary diff — no
+    XLA scatter; see utils/routing.py).
     Scene-folded: table [S, d, N] += batched-dot(values [d, S, P] repacked to
     [S, d, P], oh [S, P, N])."""
+    if isinstance(oh, RoutePlan):
+        return table + routing.segment_sum(values, oh.seg)
     if oh.ndim == 2:
         return table + values @ oh
     vs = jnp.stack([values[i] + 0.0 for i in range(values.shape[0])], axis=1)
     upd = jax.lax.dot_general(
         vs, oh,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=table.dtype,
     )  # [S, d, N]
     return table + upd
 
@@ -436,13 +457,19 @@ def warmstart(c: ContactConstraints, sb: SolverBodies, oh1, oh2) -> SolverBodies
 
 
 def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
-                use_bias: bool):
+                use_bias: bool, block_2x2: bool = False):
     """One Gauss-Seidel pass over the lanes of one color.
 
     Mirrors ContactWithTwistFriction::solve
     (contact_with_twist_friction.rs:395-460): normal points sequentially, then
     the coupled tangent pair, then twist.  Lanes of one color share no dynamic
     body, so the final matmul scatter-add is conflict-free (true Gauss-Seidel).
+
+    block_2x2: solve manifold points (0, 1) as one coupled 2x2 MLCP — the
+    reference's 2D block solver (BLOCK_SOLVER_ENABLED,
+    integration_parameters.rs:9; case enumeration
+    contact_constraint_element.rs:290-319 solve_mlcp_two_constraints).
+    Enabled by the 2D facade; 2D manifolds carry at most two points.
     """
     mask = c.valid & (c.color == color_id)
     fmask = mask.astype(jnp.float32)
@@ -461,7 +488,88 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
     # a scatter-add primitive, which Mosaic (the Pallas TPU compiler) rejects
     # inside the VMEM-resident sweep kernel (pallas_sweep.py).
     imp_rows = [c.impulse[k] for k in range(4)]
-    for k in range(4):
+    start_k = 0
+    if block_2x2:
+        start_k = 2
+        pair_ok = mask & c.point_mask[0] & c.point_mask[1]
+
+        # Sequential candidates for points 0 and 1 on the NON-paired lanes.
+        v1s, w1s, v2s, w2s = v1, w1, v2, w2
+        imp_s = [imp_rows[0], imp_rows[1]]
+        for k in range(2):
+            pm = (mask & c.point_mask[k] & ~pair_ok).astype(jnp.float32)
+            dvel = (
+                dot_cl(c.dir1, v1s) + dot_cl(c.torque_dir1[k], w1s)
+                - dot_cl(c.dir1, v2s) + dot_cl(c.torque_dir2[k], w2s)
+                + rhs[k]
+            )
+            new_imp = cfm * jnp.maximum(imp_s[k] - c.r[k] * dvel, 0.0)
+            dl = (new_imp - imp_s[k]) * pm
+            imp_s[k] = imp_s[k] + dl
+            v1s = v1s + c.dir1 * c.im1 * dl[None]
+            w1s = w1s + c.ii_torque_dir1[k] * dl[None]
+            v2s = v2s - c.dir1 * c.im2 * dl[None]
+            w2s = w2s + c.ii_torque_dir2[k] * dl[None]
+
+        # Block candidate: coupled (0, 1) MLCP on the paired lanes.
+        dvel_lin = dot_cl(c.dir1, v1) - dot_cl(c.dir1, v2)
+        dva = (dvel_lin + dot_cl(c.torque_dir1[0], w1)
+               + dot_cl(c.torque_dir2[0], w2) + rhs[0])
+        dvb = (dvel_lin + dot_cl(c.torque_dir1[1], w1)
+               + dot_cl(c.torque_dir2[1], w2) + rhs[1])
+        safe_r0 = jnp.maximum(c.r[0], 1e-12)
+        safe_r1 = jnp.maximum(c.r[1], 1e-12)
+        m11 = 1.0 / safe_r0
+        m22 = 1.0 / safe_r1
+        m12 = (
+            dot_cl(c.dir1 * (c.im1 + c.im2), c.dir1)
+            + dot_cl(c.ii_torque_dir1[0], c.torque_dir1[1])
+            + dot_cl(c.ii_torque_dir2[0], c.torque_dir2[1])
+        )
+        det = m11 * m22 - m12 * m12
+        invertible = det > 0.0
+        safe_det = jnp.where(invertible, det, 1.0)
+        # Singular pair: fall back to solving point 0 alone (reference sets
+        # the redundant row's matrix elements to zero).
+        inv11 = jnp.where(invertible, m22 / safe_det, c.r[0])
+        inv22 = jnp.where(invertible, m11 / safe_det, 0.0)
+        inv12 = jnp.where(invertible, -m12 / safe_det, 0.0)
+        k12 = jnp.where(invertible, m12, 0.0)
+
+        prev0, prev1 = imp_rows[0], imp_rows[1]
+        n0x = prev0 - (inv11 * dva + inv12 * dvb)
+        n0y = prev1 - (inv12 * dva + inv22 * dvb)
+        n1x = prev0 - c.r[0] * dva
+        n2y = prev1 - c.r[1] * dvb
+        keep0 = (n0x >= 0.0) & (n0y >= 0.0)
+        keep1 = (n1x >= 0.0) & (dvb + k12 * n1x >= 0.0)
+        keep2 = (n2y >= 0.0) & (dva + k12 * n2y >= 0.0)
+        keep3 = (dva >= 0.0) & (dvb >= 0.0)
+        selx = jnp.where(keep0, cfm * n0x,
+               jnp.where(keep1, cfm * n1x,
+               jnp.where(keep2, 0.0,
+               jnp.where(keep3, 0.0, prev0))))
+        sely = jnp.where(keep0, cfm * n0y,
+               jnp.where(keep1, 0.0,
+               jnp.where(keep2, cfm * n2y,
+               jnp.where(keep3, 0.0, prev1))))
+        fpair = pair_ok.astype(jnp.float32)
+        dl0 = (selx - prev0) * fpair
+        dl1 = (sely - prev1) * fpair
+        v1b = v1 + c.dir1 * c.im1 * (dl0 + dl1)[None]
+        w1b = w1 + c.ii_torque_dir1[0] * dl0[None] + c.ii_torque_dir1[1] * dl1[None]
+        v2b = v2 - c.dir1 * c.im2 * (dl0 + dl1)[None]
+        w2b = w2 + c.ii_torque_dir2[0] * dl0[None] + c.ii_torque_dir2[1] * dl1[None]
+
+        sel_l = fpair[None]
+        v1 = v1b * sel_l + v1s * (1.0 - sel_l)
+        w1 = w1b * sel_l + w1s * (1.0 - sel_l)
+        v2 = v2b * sel_l + v2s * (1.0 - sel_l)
+        w2 = w2b * sel_l + w2s * (1.0 - sel_l)
+        imp_rows[0] = jnp.where(pair_ok, prev0 + dl0, imp_s[0])
+        imp_rows[1] = jnp.where(pair_ok, prev1 + dl1, imp_s[1])
+
+    for k in range(start_k, 4):
         pm = (mask & c.point_mask[k]).astype(jnp.float32)
         dvel = (
             dot_cl(c.dir1, v1) + dot_cl(c.torque_dir1[k], w1)

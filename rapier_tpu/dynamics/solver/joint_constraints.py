@@ -471,7 +471,10 @@ def build_rows(joints, sb, color, params_dt, inv_dt, n_bodies: int) -> JointRows
 def solve_color(rows: JointRows, sb, color_id, *, use_bias: bool):
     """Sequentially solve all row slots of joints in one color
     (joint_velocity_constraint.rs:101-123 solve_generic)."""
-    from rapier_tpu.dynamics.solver.contact_constraints import _onehot
+    from rapier_tpu.dynamics.solver.contact_constraints import (
+        RoutePlan, _onehot,
+    )
+    from rapier_tpu.utils import routing
 
     mask = rows.valid & (rows.color == color_id)
     fmask = mask.astype(jnp.float32)
@@ -479,10 +482,17 @@ def solve_color(rows: JointRows, sb, color_id, *, use_bias: bool):
     n1 = sb.v_lin.shape[1]
     oh1 = _onehot(rows.b1, n1)
     oh2 = _onehot(rows.b2, n1)
-    v1 = oh1 @ sb.v_lin.T
-    w1 = oh1 @ sb.v_ang.T
-    v2 = oh2 @ sb.v_lin.T
-    w2 = oh2 @ sb.v_ang.T
+
+    def _gr(oh, table):
+        """Row-major gather: oh routes [d, N] table -> [J, d]."""
+        if isinstance(oh, RoutePlan):
+            return jnp.take(table, oh.idx, axis=1).T
+        return oh @ table.T
+
+    v1 = _gr(oh1, sb.v_lin)
+    w1 = _gr(oh1, sb.v_ang)
+    v2 = _gr(oh2, sb.v_lin)
+    w2 = _gr(oh2, sb.v_ang)
     v1_0, w1_0, v2_0, w2_0 = v1, w1, v2, w2
 
     impulse = rows.impulse
@@ -506,7 +516,14 @@ def solve_color(rows: JointRows, sb, color_id, *, use_bias: bool):
         w2 = w2 - rows.ii_ang_jac2[:, r] * dl[:, None]
 
     m3 = fmask[:, None]
-    v_lin = sb.v_lin + ((v1 - v1_0) * m3).T @ oh1 + ((v2 - v2_0) * m3).T @ oh2
-    v_ang = sb.v_ang + ((w1 - w1_0) * m3).T @ oh1 + ((w2 - w2_0) * m3).T @ oh2
+
+    def _sc(oh, vals_jd):
+        """Scatter-add row-major deltas [J, d] into the [d, N] table."""
+        if isinstance(oh, RoutePlan):
+            return routing.segment_sum(vals_jd.T, oh.seg)
+        return vals_jd.T @ oh
+
+    v_lin = (sb.v_lin + _sc(oh1, (v1 - v1_0) * m3) + _sc(oh2, (v2 - v2_0) * m3))
+    v_ang = (sb.v_ang + _sc(oh1, (w1 - w1_0) * m3) + _sc(oh2, (w2 - w2_0) * m3))
     rows = rows._replace(impulse=jnp.where(mask[:, None], impulse, rows.impulse))
     return rows, sb._replace(v_lin=v_lin, v_ang=v_ang)

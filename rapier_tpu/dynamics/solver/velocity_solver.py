@@ -185,10 +185,17 @@ def solve(bodies, sb: cc.SolverBodies, constraints,
     # `cc_mod` selects the friction model implementation (twist vs Coulomb).
     oh1, oh2 = cc.pair_onehots(constraints, sb.v_lin.shape[1])
 
+    block_2x2 = bool(getattr(params, "block_solver_2x2", False)) and (
+        cc_mod is cc
+    )
+
     def contact_sweep(constraints, sb, use_bias):
         def body_fn(ci, carry):
             cons, s = carry
-            return cc_mod.solve_color(cons, s, ci, oh1, oh2, use_bias=use_bias)
+            return cc_mod.solve_color(
+                cons, s, ci, oh1, oh2, use_bias=use_bias,
+                **({"block_2x2": True} if block_2x2 else {}),
+            )
         return jax.lax.fori_loop(0, num_colors, body_fn, (constraints, sb))
 
     def joint_sweep(rows, sb, use_bias):

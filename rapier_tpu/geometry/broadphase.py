@@ -34,10 +34,20 @@ def _pair_filter_mask(c1, c2, colliders, body_type):
     p2 = colliders.parent[c2]
     same_parent = (p1 == p2) & (p1 >= 0)
 
-    # Default ActiveCollisionTypes: at least one side attached to a dynamic body.
+    # ActiveCollisionTypes test (reference collider_components.rs:282 test():
+    # pair proceeds if EITHER collider's mask allows the (type1, type2)
+    # combination; default mask = dynamic vs anything).
     t1 = jnp.where(p1 >= 0, body_type[jnp.maximum(p1, 0)], int(BodyType.FIXED))
     t2 = jnp.where(p2 >= 0, body_type[jnp.maximum(p2, 0)], int(BodyType.FIXED))
-    any_dynamic = (t1 == BodyType.DYNAMIC) | (t2 == BodyType.DYNAMIC)
+    a1 = colliders.active_collision_types[c1]
+    a2 = colliders.active_collision_types[c2]
+
+    def _act(a):
+        return ((((a >> (t1 * 4)) & 15) & (1 << t2)) != 0) | (
+            (((a >> (t2 * 4)) & 15) & (1 << t1)) != 0
+        )
+
+    any_dynamic = _act(a1) | _act(a2)
 
     # InteractionGroups AND test (reference src/geometry/interaction_groups.rs,
     # default test mode): (m1 & f2) != 0 && (m2 & f1) != 0.
@@ -88,15 +98,26 @@ def find_pairs_all(mins, maxs, colliders, body_type, max_pairs: int):
     parent = colliders.parent
     safe_p = jnp.maximum(parent, 0)
     bt = jnp.where(parent >= 0, body_type[safe_p], int(BodyType.FIXED))
-    dyn = bt == BodyType.DYNAMIC
     g = colliders.collision_groups
     m, f = g >> 16, g & 0xFFFF
+
+    # ActiveCollisionTypes test, broadcast [C, C] (collider_components.rs:282
+    # test(); either side's mask may allow the combination).
+    act = colliders.active_collision_types
+    ti, tj = bt[:, None], bt[None, :]
+
+    def _act(a):
+        return ((((a >> (ti * 4)) & 15) & (1 << tj)) != 0) | (
+            (((a >> (tj * 4)) & 15) & (1 << ti)) != 0
+        )
+
+    type_ok = _act(act[:, None]) | _act(act[None, :])
 
     ok = (
         overlap
         & (enabled[:, None] & enabled[None, :])
         & ~((parent[:, None] == parent[None, :]) & (parent[:, None] >= 0))
-        & (dyn[:, None] | dyn[None, :])
+        & type_ok
         & ((m[:, None] & f[None, :]) != 0)
         & ((m[None, :] & f[:, None]) != 0)
     )

@@ -51,6 +51,9 @@ class ManifoldBatch(NamedTuple):
     unsupported: jax.Array # scalar int32 — overlapping pairs with no kernel
     solver_pair: jax.Array # [P] bool — participates in constraint solve
     touching: jax.Array    # [P] bool — any point with dist <= 0 (events)
+    sensor: jax.Array      # [P] bool — either collider is a sensor: the pair
+                           # lives on the INTERSECTION graph (narrow_phase.rs
+                           # :708 compute_intersections), never the solver
     friction: jax.Array    # [P]
     restitution: jax.Array # [P]
     rel_dominance: jax.Array  # [P] int32
@@ -149,7 +152,8 @@ def _run_bucketed(kern, mask, cap: int, TA, TB):
     scatter the manifold back to P lanes.  Returns (manifold, overflow)."""
     from rapier_tpu.utils.compaction import compact_indices
 
-    f32 = jnp.float32
+    from rapier_tpu import precision as _prec
+    f32 = _prec.FLOAT
     p = mask.shape[0]
     src, bvalid, overflow = compact_indices(mask, cap)
     ids = jnp.arange(p)
@@ -180,7 +184,8 @@ def _run_bucketed(kern, mask, cap: int, TA, TB):
 def _soft_ccd_cols(bodies, colliders, safe_p, parent, dt):
     """Staged columns 34:38 for soft-CCD inflation: parent linvel clamped to
     soft_ccd_prediction/dt (narrow_phase.rs:953-958) + an active flag."""
-    f32 = jnp.float32
+    from rapier_tpu import precision as _prec
+    f32 = _prec.FLOAT
     c = parent.shape[0]
     if dt is None:
         return jnp.zeros((c, 4), f32)
@@ -245,7 +250,8 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
 
     # --- staged collider table: ALL per-pair collider lookups become two
     # one-hot matmuls (TPU batched gathers are ~1GB/s; the MXU isn't) ---
-    f32 = jnp.float32
+    from rapier_tpu import precision as _prec
+    f32 = _prec.FLOAT
     parent = colliders.parent
     safe_p = jnp.maximum(parent, 0)
     bt_c = jnp.where(parent >= 0, bodies.body_type[safe_p], int(BodyType.FIXED))
@@ -282,13 +288,21 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
 
     # Lane-LAST staged table: [n_staged_cols, P] so every per-pair column
     # below is a tile-friendly [d, P] array (see ManifoldBatch layout
-    # docstring).  The one-hot matmuls route each pair's two collider rows.
-    ids_c = jnp.arange(n_coll)
-    oh_s1 = (s1[:, None] == ids_c[None, :]).astype(f32)
-    oh_s2 = (s2[:, None] == ids_c[None, :]).astype(f32)
+    # docstring).  One-hot matmuls route each pair's two collider rows at
+    # small sizes; direct takes above the dense-routing limit (the [P, C]
+    # masks are O(P*C) — gigabytes at 5k+ colliders).
+    from rapier_tpu.utils.routing import DENSE_ROUTE_ELEMS
+
     colsT = cols.T                       # [n_staged_cols, C]
-    T1 = colsT @ oh_s1.T                 # [n_staged_cols, P]
-    T2 = colsT @ oh_s2.T
+    if s1.shape[0] * n_coll <= DENSE_ROUTE_ELEMS:
+        ids_c = jnp.arange(n_coll)
+        oh_s1 = (s1[:, None] == ids_c[None, :]).astype(f32)
+        oh_s2 = (s2[:, None] == ids_c[None, :]).astype(f32)
+        T1 = colsT @ oh_s1.T             # [n_staged_cols, P]
+        T2 = colsT @ oh_s2.T
+    else:
+        T1 = jnp.take(colsT, s1, axis=1)
+        T2 = jnp.take(colsT, s2, axis=1)
 
     t1 = T1[19].astype(jnp.int32)
     t2 = T2[19].astype(jnp.int32)
@@ -466,8 +480,12 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
     m2g = T2[26].astype(jnp.int32)
     f2g = T2[27].astype(jnp.int32)
     solver_groups_ok = ((m1g & f2g) != 0) & ((m2g & f1g) != 0)
+    # At least one solver-dynamic endpoint: ActiveCollisionTypes can admit
+    # kinematic/fixed-only pairs (events), which must never reach the solver
+    # (their constraint denominators would be singular).
+    solver_dyn = ((b1 >= 0) & (T1[33] > 0.0)) | ((b2 >= 0) & (T2[33] > 0.0))
     solver_pair = (
-        pair_valid & matched & ~sensor & solver_groups_ok
+        pair_valid & matched & ~sensor & solver_groups_ok & solver_dyn
         & jnp.any(point_active, axis=0)
     )
 
@@ -501,6 +519,7 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
         + bucket_dropped,
         solver_pair=solver_pair,
         touching=touching,
+        sensor=sensor & pair_valid,
         friction=friction, restitution=restitution,
         rel_dominance=rel_dom,
     )
@@ -658,7 +677,8 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
     gm1, gf1 = sg1 >> 16, sg1 & 0xFFFF
     gm2, gf2 = sg2 >> 16, sg2 & 0xFFFF
     solver_ok = ((gm1 & gf2) != 0) & ((gm2 & gf1) != 0)
-    solver_pair = lane_ok & ~sensor & solver_ok & jnp.any(point_active, axis=-1)
+    solver_pair = (lane_ok & ~sensor & solver_ok & (sd1 | sd2)
+                   & jnp.any(point_active, axis=-1))
 
     pair_key = jnp.where(
         lane_ok,
@@ -689,6 +709,7 @@ def compute_mesh_manifolds(bodies, colliders, meshes, c1, c2, pair_valid,
         point_valid=pvalid.T, point_active=point_active.T,
         valid=lane_ok, unsupported=jnp.int32(0),
         solver_pair=solver_pair, touching=touching,
+        sensor=sensor & lane_ok,
         friction=friction, restitution=restitution,
         rel_dominance=rel_dom,
     )

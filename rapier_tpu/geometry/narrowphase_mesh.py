@@ -141,9 +141,12 @@ def capsule_triangle(pA, rA, prmA, v0, v1, v2) -> Manifold:
     return m._replace(normal=n)
 
 
-def convex_triangle(pA, rA, stA, prmA, v0, v1, v2) -> Manifold:
-    """Cuboid/cylinder/cone (+round) vs triangle: sampled SAT with
-    triangle-specific axes + support-patch manifold."""
+def _triangle_sat(pA, rA, stA, prmA, v0, v1, v2):
+    """Sampled-SAT gap + axis between a convex shape and one triangle.
+
+    Axes: triangle normal, center line, A's frame axes, frame-edge crosses.
+    Returns (dist, n, degenerate-safe) — the cheap core shared by the
+    manifold kernel below and mesh CCD bisection (dynamics/ccd.py)."""
     from rapier_tpu.geometry import shapes as shp
     from rapier_tpu.geometry.narrowphase_convex import _border_radius
 
@@ -180,7 +183,24 @@ def convex_triangle(pA, rA, stA, prmA, v0, v1, v2) -> Manifold:
     gaps = jnp.where(degenerate, -1e10, gaps)
     best = jnp.argmax(gaps)
     n = (jnp.arange(cand.shape[0]) == best).astype(cand.dtype) @ cand
-    dist = jnp.max(gaps)
+    return jnp.max(gaps), n
+
+
+def triangle_gap(pA, rA, stA, prmA, v0, v1, v2):
+    """Signed separation estimate of a convex shape vs one triangle (CCD)."""
+    dist, _n = _triangle_sat(pA, rA, stA, prmA, v0, v1, v2)
+    return dist
+
+
+def convex_triangle(pA, rA, stA, prmA, v0, v1, v2) -> Manifold:
+    """Cuboid/cylinder/cone (+round) vs triangle: sampled SAT with
+    triangle-specific axes + support-patch manifold."""
+    from rapier_tpu.geometry import shapes as shp
+    from rapier_tpu.geometry.narrowphase_convex import _border_radius
+
+    bA = _border_radius(stA, prmA)
+    verts = jnp.stack([v0, v1, v2])
+    dist, n = _triangle_sat(pA, rA, stA, prmA, v0, v1, v2)
 
     # Manifold: perturbed supports of A towards the triangle.
     t1 = jnp.cross(n, jnp.array([1.0, 0.0, 0.0]))

@@ -32,6 +32,10 @@ from rapier_tpu.world import (
 from rapier_tpu.loaders.urdf import _load_mesh_file, _quat_mul, _quat_rotate
 
 
+def _quat_conj(q):
+    return np.array([-q[0], -q[1], -q[2], q[3]])
+
+
 def _vec(s, default):
     if s is None:
         return np.asarray(default, float)
@@ -94,6 +98,9 @@ class MjcfRobotHandles:
     joint_order: list = field(default_factory=list)  # qpos order (1-dof joints)
     keyframes: dict = field(default_factory=dict)    # key name -> qpos array
     sensors: list = field(default_factory=list)      # [(name, kind, joint)]
+    tendons: dict = field(default_factory=dict)      # name -> [(joint, coef)]
+    couplings: list = field(default_factory=list)    # [(ja, jb, ratio, off)]
+    equalities: dict = field(default_factory=dict)   # name -> impulse joint id
     use_multibody: bool = False
     _mb_slots: dict = field(default_factory=dict)    # joint name -> (tree, link)
 
@@ -466,6 +473,7 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
     handles = MjcfRobotHandles()
     handles.use_multibody = use_multibody
     rt = np.asarray(root_translation, float)
+    body_world: dict = {}    # body name -> (world pos, world rot) at assembly
     _anchor = [None]
 
     def insert_joint(p_handle, child_handle, gb):
@@ -523,6 +531,7 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
             bb.rotation = tuple(wrot)
             h = world.insert_body(bb)
             handles.bodies[b.get("name", f"body{h}")] = h
+            body_world[b.get("name", f"body{h}")] = (wpos, wrot)
             insert_geoms(h, b, bcls, False)
 
             # Joints on top-level bodies anchor to a fixed world body; the
@@ -621,6 +630,92 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                     gbj.with_motor_velocity(ax, 0.0, kv if kv > 0 else 10.0)
                 else:
                     gbj.with_motor_velocity(ax, 0.0, 0.0)
+
+    # ------------------------------------------------------------------
+    # <tendon><fixed> + <equality> (reference mjcf-rs tendon.rs/equality.rs;
+    # materialization mirrors rapier3d-mjcf conversion.rs:567-730).
+    # ------------------------------------------------------------------
+    def _joint_child_and_axis(jname):
+        j = handles.joints.get(jname)
+        if j is None:
+            return None
+        ax = handles.joint_axis[jname]
+        if use_multibody:
+            child = world._pending_mb_joints[j][2]
+        else:
+            child = world._pending_joints[j][2]
+        return child, ax
+
+    def _add_coupling(jname_a, jname_b, ratio, offset):
+        """q_a = ratio * q_b + offset.  Multibody insertion only (the
+        reference applies tendon/equality couplings through
+        insert_using_multibody_joints as well)."""
+        if not use_multibody:
+            return False
+        a = _joint_child_and_axis(jname_a)
+        b = _joint_child_and_axis(jname_b)
+        if a is None or b is None:
+            return False
+        world.insert_dof_coupling(a[0], a[1], b[0], b[1], ratio, offset)
+        handles.couplings.append((jname_a, jname_b, ratio, offset))
+        return True
+
+    tend = root.find("tendon")
+    if tend is not None:
+        for t in tend.findall("fixed"):
+            terms = [(tj.get("joint", ""), float(tj.get("coef", 1.0)))
+                     for tj in t.findall("joint")]
+            terms = [(j, c) for (j, c) in terms if j in handles.joints]
+            handles.tendons[t.get("name", f"tendon{len(handles.tendons)}")] = terms
+            # Co-actuation coupling: q_k = (coef_k / coef_0) * q_0
+            # (conversion.rs materialize_tendons).
+            if len(terms) >= 2 and terms[0][1] != 0.0:
+                j0, c0 = terms[0]
+                for jk, ck in terms[1:]:
+                    _add_coupling(jk, j0, ck / c0, 0.0)
+
+    eq = root.find("equality")
+    if eq is not None:
+        for e in eq:
+            if e.get("active", "true") in ("false", "0"):
+                continue
+            if e.tag == "joint":
+                poly = _vec(e.get("polycoef"), (0.0, 1.0, 0.0, 0.0, 0.0))
+                # q2 = polycoef[1]*q1 + polycoef[0] (linear term only;
+                # rapier coordinates already subtract ref, conversion.rs
+                # materialize_joint_equality).
+                j1, j2 = e.get("joint1", ""), e.get("joint2", "")
+                if j2:
+                    _add_coupling(j2, j1, float(poly[1]), float(poly[0]))
+            elif e.tag in ("connect", "weld"):
+                b1n, b2n = e.get("body1", ""), e.get("body2", "")
+                h1 = handles.bodies.get(b1n)
+                h2 = handles.bodies.get(b2n) if b2n else world_anchor()
+                if h1 is None or h2 is None:
+                    continue
+                idq = np.array([0.0, 0.0, 0.0, 1.0])
+                p1, r1 = body_world.get(b1n, (np.zeros(3), idq))
+                # body2 omitted = the world anchor body (fixed at origin).
+                p2, r2 = body_world.get(b2n, (np.zeros(3), idq))
+                if e.tag == "connect":
+                    anchor = _vec(e.get("anchor"), (0, 0, 0))
+                    wanchor = p1 + _quat_rotate(r1, anchor)
+                    gb = GenericJointBuilder.spherical()
+                    gb.with_local_anchor1(tuple(anchor))
+                    gb.with_local_anchor2(tuple(
+                        _quat_rotate(_quat_conj(r2), wanchor - p2)))
+                else:
+                    gb = GenericJointBuilder.fixed()
+                    gb.with_local_anchor1(tuple(
+                        _quat_rotate(_quat_conj(r1), p2 - p1)))
+                    gb.local_frame_rot1 = tuple(_quat_mul(_quat_conj(r1), r2))
+                gb.with_contacts_enabled(False)
+                # Equality constraints are IMPULSE joints even in multibody
+                # mode: they may close kinematic loops the reduced-coordinate
+                # tree cannot represent (conversion.rs equality_joints).
+                name = e.get("name", f"eq{len(handles.equalities)}")
+                handles.equalities[name] = world.insert_impulse_joint(
+                    h1, h2, gb)
 
     # Keyframes (reference keyframe/mocap utilities, runtime.rs:677-760).
     kf = root.find("keyframe")

@@ -30,6 +30,11 @@ from rapier_tpu.dynamics.solver import contact_constraints as cc
 from rapier_tpu.dynamics.solver import velocity_solver as vs
 from rapier_tpu.dynamics.solver.coloring import color_constraints
 from rapier_tpu.types import BodyType, Contacts, SceneState, SimParams
+from rapier_tpu.utils.routing import (
+    DENSE_JOIN_ELEMS as _DENSE_JOIN_ELEMS,
+    DENSE_ROUTE_ELEMS as _DENSE_ROUTE_ELEMS,
+    make_segment_plan, segment_any,
+)
 
 
 class _SolvedImpulses(NamedTuple):
@@ -54,6 +59,12 @@ class StepEvents(NamedTuple):
     stopped: jax.Array         # [P] bool
     force_events: jax.Array    # [P] bool — contact force above threshold
     force_magnitude: jax.Array # [P]
+    # Intersection-graph split (reference CollisionEvent's `sensor` flag,
+    # event_handler.rs; sensors never produce solver contacts, their
+    # started/stopped lanes represent intersection enter/exit).
+    sensor_pairs: jax.Array    # [P] bool — started/force lane is sensor-kind
+    intersecting: jax.Array    # [P] bool — sensor-pair lanes currently
+                               # overlapping (compute_intersections analog)
     broadphase_overflow: jax.Array  # scalar int32 diagnostic
     unsupported_pairs: jax.Array    # scalar int32 — pairs with no NP kernel
     ccd_overflow: jax.Array         # scalar int32 — CCD candidates dropped by caps
@@ -69,20 +80,41 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
     The analog of parry's TrackedContact feature-id matching + the reference's
     warmstart round-trip (contact_pair.rs:34-51).
 
-    Implementation: a dense [Pnew, Pold] key-equality matrix instead of sort +
-    searchsorted — equality + matmul contraction beats TPU's while-loop
-    binary-search lowering, and the same matrix routes every warmstart field.
+    Implementation: a dense [Pnew, Pold] key-equality matrix at small sizes —
+    equality + matmul contraction beats TPU's while-loop binary-search
+    lowering — switching to sort + searchsorted above _DENSE_JOIN_ELEMS
+    (the dense matrix is O(P^2): 4,900-box scenes would need a 6 GB join).
     All per-point arrays are lane-LAST ([4, P], see ManifoldBatch layout).
     """
     new_keys = jnp.where(man.valid, man.pair_key, -1)
     old_keys = jnp.where(prev.pair_key >= 0, prev.pair_key, -2)
-    eq = new_keys[:, None] == old_keys[None, :]              # [Pn, Po] bool
-    matched = jnp.any(eq, axis=1) & man.valid
-    eqf = eq.astype(jnp.float32)
+    pn, po = new_keys.shape[0], old_keys.shape[0]
 
-    def join_pair(arr):
-        """Route per-old-pair values [..., Po] to new lanes [..., Pn]."""
-        return arr.astype(jnp.float32) @ eqf.T
+    if pn * po > _DENSE_JOIN_ELEMS:
+        order = jnp.argsort(old_keys)
+        sk = old_keys[order]
+        pos = jnp.clip(jnp.searchsorted(sk, new_keys), 0, po - 1)
+        src = order[pos]
+        hit = sk[pos] == new_keys                            # [Pn]
+        matched = hit & man.valid
+
+        def join_pair(arr):
+            """Route per-old-pair values [..., Po] to new lanes [..., Pn]."""
+            return jnp.where(hit, arr.astype(jnp.float32)[..., src], 0.0)
+
+        tkeys = jnp.sort(jnp.where(man.valid & man.touching, man.pair_key, -3))
+        tpos = jnp.clip(jnp.searchsorted(tkeys, old_keys), 0, pn - 1)
+        still = tkeys[tpos] == old_keys                      # [Po]
+    else:
+        eq = new_keys[:, None] == old_keys[None, :]          # [Pn, Po] bool
+        matched = jnp.any(eq, axis=1) & man.valid
+        eqf = eq.astype(jnp.float32)
+
+        def join_pair(arr):
+            """Route per-old-pair values [..., Po] to new lanes [..., Pn]."""
+            return arr.astype(jnp.float32) @ eqf.T
+
+        still = jnp.any(eq & man.touching[:, None], axis=0)
 
     # Per-point feature-id matching (4 new x 4 old), via joined fid rows.
     old_fid = join_pair(prev.feature_id)                     # [4old, Pn]
@@ -123,8 +155,8 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
         ws_tan = join_pair(prev.warmstart_tangent_impulse) * mf  # [2, Pn]
     ws_twist = jnp.where(matched, join_pair(prev.warmstart_twist_impulse), 0.0)
     prev_touching = matched & (join_pair(prev.touching) > 0)
-    # Old pairs still touching this step (for stopped events).
-    still = jnp.any(eq & man.touching[:, None], axis=0)
+    # (`still` — old pairs still touching this step, for stopped events —
+    # comes from the size-dispatched join above.)
     return ws_normal, ws_tan, ws_twist, prev_impulse, prev_touching, matched, still
 
 
@@ -342,30 +374,56 @@ def step(state: SceneState, params: SimParams, hooks=None):
         edyn = jnp.concatenate([edyn, jdyn])
     edge_dd = emask & edyn
 
-    # Adjacency of the dynamic-dynamic interaction graph as a dense [N, N]
-    # matrix (N is the body capacity; matvec propagation beats TPU scatters).
+    # Adjacency of the dynamic-dynamic interaction graph.  Small scenes: a
+    # dense [N, N] matrix (matvec propagation beats TPU scatters).  Large
+    # scenes: sorted segment plans over the edge lists (utils/routing.py) —
+    # the dense form is O(E*N) + O(N^2) and would cost gigabytes at 5k+
+    # bodies.  `neighbor_or(flag)[b] = OR of flag over b's graph neighbors`.
     sent = n
     t1 = jnp.where(edge_dd, eb1, sent)
     t2 = jnp.where(edge_dd, eb2, sent)
-    body_ids = jnp.arange(n + 1)
-    e1 = (t1[:, None] == body_ids[None, :]).astype(jnp.float32)  # [E, N+1]
-    e2 = (t2[:, None] == body_ids[None, :]).astype(jnp.float32)
-    adj = (e1.T @ e2)[:n, :n]
-    adj = adj + adj.T
+    n_edges = t1.shape[0]
+    if n_edges * (n + 1) <= _DENSE_ROUTE_ELEMS and n * n <= _DENSE_ROUTE_ELEMS:
+        body_ids = jnp.arange(n + 1)
+        e1 = (t1[:, None] == body_ids[None, :]).astype(jnp.float32)  # [E, N+1]
+        e2 = (t2[:, None] == body_ids[None, :]).astype(jnp.float32)
+        adj = (e1.T @ e2)[:n, :n]
+        adj = adj + adj.T
+
+        def neighbor_or(flag):
+            return (adj @ flag.astype(jnp.float32)) > 0.0
+
+        def scatter_started(started_mask):
+            sb1 = (jnp.where(started_mask & (man.body1 >= 0), man.body1, sent)
+                   [:, None] == body_ids[None, :])
+            sb2 = (jnp.where(started_mask & (man.body2 >= 0), man.body2, sent)
+                   [:, None] == body_ids[None, :])
+            return (jnp.any(sb1, axis=0) | jnp.any(sb2, axis=0))[:n]
+    else:
+        eplan1 = make_segment_plan(t1, n + 1)
+        eplan2 = make_segment_plan(t2, n + 1)
+
+        def neighbor_or(flag):
+            flag_ext = jnp.concatenate([flag, jnp.zeros((1,), bool)])
+            a = segment_any(flag_ext[t2], eplan1)[:n]
+            b = segment_any(flag_ext[t1], eplan2)[:n]
+            return a | b
+
+        def scatter_started(started_mask):
+            wb1 = jnp.where(started_mask & (man.body1 >= 0), man.body1, sent)
+            wb2 = jnp.where(started_mask & (man.body2 >= 0), man.body2, sent)
+            w1 = segment_any(started_mask, make_segment_plan(wb1, n + 1))[:n]
+            w2 = segment_any(started_mask, make_segment_plan(wb2, n + 1))[:n]
+            return w1 | w2
 
     sleeping = bodies.sleeping & dyn
     if params.sleeping_enabled:
-        sb1 = (jnp.where(started & (man.body1 >= 0), man.body1, sent)[:, None]
-               == body_ids[None, :])
-        sb2 = (jnp.where(started & (man.body2 >= 0), man.body2, sent)[:, None]
-               == body_ids[None, :])
-        woke = (jnp.any(sb1, axis=0) | jnp.any(sb2, axis=0))[:n]
+        woke = scatter_started(started)
         awake = (dyn & ~sleeping) | (woke & dyn)
-        # Spread wakefulness across dynamic-dynamic edges (matvec per hop).
+        # Spread wakefulness across dynamic-dynamic edges (one hop per pass).
         awake_p = awake
         for _ in range(params.sleep_propagation_iters):
-            nb = (adj @ awake_p.astype(jnp.float32)) > 0.0
-            awake_p = awake_p | (nb & dyn)
+            awake_p = awake_p | (neighbor_or(awake_p) & dyn)
         sleeping = dyn & ~awake_p
     bodies = bodies.replace(sleeping=sleeping)
 
@@ -383,19 +441,29 @@ def step(state: SceneState, params: SimParams, hooks=None):
 
     # Pairs where one side is sleeping never reach the solver (both sleep
     # together or the awake side woke them above).
-    # Sleeping lookups as one-hot matmuls (fresh: `sleeping` was updated by
-    # the wake pass above).
+    # Sleeping lookups (fresh: `sleeping` was updated by the wake pass
+    # above).  One-hot matmuls at small sizes, direct gathers when the
+    # [P, N+1] masks would be large.
     sent = n
-    body_ids_s = jnp.arange(n + 1)
-    slp_ext = jnp.concatenate([sleeping, jnp.zeros((1,), bool)]).astype(jnp.float32)
-    ohb1 = (
-        jnp.where(man.body1 >= 0, man.body1, sent)[:, None] == body_ids_s[None, :]
-    ).astype(jnp.float32)
-    ohb2 = (
-        jnp.where(man.body2 >= 0, man.body2, sent)[:, None] == body_ids_s[None, :]
-    ).astype(jnp.float32)
-    asleep1 = (man.body1 >= 0) & ((ohb1 @ slp_ext) > 0)
-    asleep2 = (man.body2 >= 0) & ((ohb2 @ slp_ext) > 0)
+    slp_ext = jnp.concatenate([sleeping, jnp.zeros((1,), bool)])
+    if man.body1.shape[0] * (n + 1) <= _DENSE_ROUTE_ELEMS:
+        body_ids_s = jnp.arange(n + 1)
+        slp_f = slp_ext.astype(jnp.float32)
+        ohb1 = (
+            jnp.where(man.body1 >= 0, man.body1, sent)[:, None]
+            == body_ids_s[None, :]
+        ).astype(jnp.float32)
+        ohb2 = (
+            jnp.where(man.body2 >= 0, man.body2, sent)[:, None]
+            == body_ids_s[None, :]
+        ).astype(jnp.float32)
+        asleep1 = (man.body1 >= 0) & ((ohb1 @ slp_f) > 0)
+        asleep2 = (man.body2 >= 0) & ((ohb2 @ slp_f) > 0)
+    else:
+        asleep1 = (man.body1 >= 0) & slp_ext[jnp.where(man.body1 >= 0,
+                                                       man.body1, sent)]
+        asleep2 = (man.body2 >= 0) & slp_ext[jnp.where(man.body2 >= 0,
+                                                       man.body2, sent)]
     solver_pair = man.solver_pair & ~asleep1 & ~asleep2
     man = man._replace(solver_pair=solver_pair)
 
@@ -409,10 +477,14 @@ def step(state: SceneState, params: SimParams, hooks=None):
     from rapier_tpu.types import FrictionModel
     from rapier_tpu.dynamics.solver import pallas_sweep
 
+    from rapier_tpu import precision as _prec
+
     coulomb = params.friction_model == int(FrictionModel.COULOMB)
     use_pallas = (
         joints is None
         and not coulomb
+        and not _prec.is_f64()            # Mosaic kernels are f32-only
+        and not params.block_solver_2x2   # 2D block solve: JAX sweep only
         and backend != "jax"
         and pallas_sweep.vmem_feasible(man.body1.shape[0], n + 1)
         and (backend == "pallas" or jax.default_backend() == "tpu")
@@ -508,27 +580,60 @@ def step(state: SceneState, params: SimParams, hooks=None):
             point_mask=man.point_active,
         )
     else:
+        # Solver-lane compaction on the pure-JAX path: generate + the
+        # O(substeps x colors) sweep work K = max_solver_pairs lanes instead
+        # of every broad-phase candidate lane (the Pallas path compacts the
+        # same way above).  Uncovered lanes keep their matched warmstart
+        # caches; overflow surfaces in StepEvents.solver_overflow.
+        compact_jax = (not coulomb) and 0 < cap < p_lanes
+        if compact_jax:
+            from rapier_tpu.utils.compaction import compact_indices
+
+            src, kvalid, solver_overflow = compact_indices(solver_pair, cap)
+
+            def _cl(x):
+                return jnp.take(x, src, axis=-1)
+
+            man_s = man._replace(**{
+                f: _cl(getattr(man, f))
+                for f in man._fields if f != "unsupported"
+            })
+            man_s = man_s._replace(
+                body1=jnp.where(kvalid, man_s.body1, -1),
+                body2=jnp.where(kvalid, man_s.body2, -1),
+                valid=man_s.valid & kvalid,
+                solver_pair=kvalid,
+                point_active=man_s.point_active & kvalid[None, :],
+            )
+            dyn1_s, dyn2_s = _cl(dyn1) & kvalid, _cl(dyn2) & kvalid
+            prev_imp_s = _cl(prev_imp)
+            ws_n_s, ws_t_s, ws_tw_s = _cl(ws_n), _cl(ws_t), _cl(ws_tw)
+        else:
+            man_s, dyn1_s, dyn2_s = man, dyn1, dyn2
+            prev_imp_s, ws_n_s, ws_t_s, ws_tw_s = prev_imp, ws_n, ws_t, ws_tw
+
         color, num_colors = color_constraints(
-            man.body1, man.body2, dyn1, dyn2, solver_pair, n, params.max_colors
+            man_s.body1, man_s.body2, dyn1_s, dyn2_s, man_s.solver_pair, n,
+            params.max_colors
         )
         if coulomb:
             from rapier_tpu.dynamics.solver import (
                 contact_constraints_coulomb as cc_model,
             )
 
-            constraints = cc_model.generate(man, sb, prev_imp, color, n)
+            constraints = cc_model.generate(man_s, sb, prev_imp_s, color, n)
             constraints = constraints._replace(
-                impulse=ws_n * constraints.point_mask,
-                tan_impulse=ws_t * constraints.point_mask[:, None, :],
+                impulse=ws_n_s * constraints.point_mask,
+                tan_impulse=ws_t_s * constraints.point_mask[:, None, :],
             )
         else:
             cc_model = cc
-            constraints = cc.generate(man, sb, prev_imp, color, n)
+            constraints = cc.generate(man_s, sb, prev_imp_s, color, n)
             # Inject matched warmstart impulses (lane-last already).
             constraints = constraints._replace(
-                impulse=ws_n * constraints.point_mask,
-                tan_impulse=ws_t,
-                twist_impulse=ws_tw,
+                impulse=ws_n_s * constraints.point_mask,
+                tan_impulse=ws_t_s,
+                twist_impulse=ws_tw_s,
             )
 
         if joints is not None:
@@ -549,6 +654,30 @@ def step(state: SceneState, params: SimParams, hooks=None):
         )
         if joints is not None and joint_rows is not None:
             joints = joints.replace(impulses=joint_rows.impulse)
+        if compact_jax:
+            # Scatter the K-lane impulses back to full width; lanes the
+            # solve never saw keep their matched warmstart caches.  Invalid
+            # compaction slots write to a dropped sentinel column so the
+            # scatter has unique indices (deterministic).
+            src_s = jnp.where(kvalid, src, p_lanes)
+
+            def _expand(xk, default):
+                pad = jnp.zeros(default.shape[:-1] + (1,), default.dtype)
+                full = jnp.concatenate([default, pad], axis=-1)
+                return full.at[..., src_s].set(xk)[..., :p_lanes]
+
+            z4 = jnp.zeros((4, p_lanes))
+            constraints = _SolvedImpulses(
+                impulse=_expand(constraints.impulse, ws_n * man.point_active),
+                impulse_acc=_expand(constraints.impulse_acc, z4),
+                tan_impulse=_expand(constraints.tan_impulse, ws_t),
+                tan_impulse_acc=_expand(constraints.tan_impulse_acc,
+                                        jnp.zeros((2, p_lanes))),
+                twist_impulse=_expand(constraints.twist_impulse, ws_tw),
+                twist_impulse_acc=_expand(constraints.twist_impulse_acc,
+                                          jnp.zeros((p_lanes,))),
+                point_mask=man.point_active,
+            )
     bodies = vs.writeback(bodies, sb, active, params)
 
     if multibodies is not None:
@@ -567,7 +696,8 @@ def step(state: SceneState, params: SimParams, hooks=None):
     if params.enable_ccd:
         from rapier_tpu.dynamics.ccd import clamp_motions
 
-        bodies, ccd_overflow = clamp_motions(bodies, colliders, params)
+        bodies, ccd_overflow = clamp_motions(
+            bodies, colliders, params, meshes=state.meshes)
     else:
         ccd_overflow = jnp.int32(0)
     bodies = bodies.replace(pos=bodies.next_pos, rot=quat.normalize(bodies.next_rot))
@@ -592,8 +722,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
         # min over neighbors == "no ineligible neighbor" via the adjacency.
         elig_ext = eligible | ~dyn  # non-dynamic neighbors don't block sleep
         for _ in range(params.sleep_propagation_iters):
-            bad_nb = (adj @ (~elig_ext).astype(jnp.float32)) > 0.0
-            elig_ext = elig_ext & ~bad_nb
+            elig_ext = elig_ext & ~neighbor_or(~elig_ext)
         new_sleeping = dyn & eligible & elig_ext
         bodies = bodies.replace(
             sleeping=new_sleeping,
@@ -658,6 +787,8 @@ def step(state: SceneState, params: SimParams, hooks=None):
         stopped=stopped & ((prev_eflags & ACTIVE_EVENTS_COLLISION) != 0),
         force_events=force_events,
         force_magnitude=force_mag,
+        sensor_pairs=man.sensor,
+        intersecting=man.sensor & man.touching,
         broadphase_overflow=bp_overflow,
         unsupported_pairs=man.unsupported,
         ccd_overflow=ccd_overflow,

@@ -105,6 +105,27 @@ ACTIVE_HOOKS_FILTER_CONTACT_PAIR = 1 << 0
 ACTIVE_HOOKS_FILTER_INTERSECTION_PAIR = 1 << 1
 ACTIVE_HOOKS_MODIFY_SOLVER_CONTACTS = 1 << 2
 
+
+class ActiveCollisionTypes(enum.IntFlag):
+    """Which body-type combinations a collider computes contacts for
+    (reference src/geometry/collider_components.rs:282; bit layout identical:
+    group-of-4 selected by one type, bit-within-group by the other, tested
+    symmetrically)."""
+
+    DYNAMIC_DYNAMIC = 0b0000_0000_0000_0001
+    DYNAMIC_KINEMATIC = 0b0000_0000_0000_1100
+    DYNAMIC_FIXED = 0b0000_0000_0000_0010
+    KINEMATIC_KINEMATIC = 0b1100_1100_0000_0000
+    KINEMATIC_FIXED = 0b0010_0010_0000_0000
+    FIXED_FIXED = 0b0000_0000_0010_0000
+
+
+ACTIVE_COLLISION_TYPES_DEFAULT = int(
+    ActiveCollisionTypes.DYNAMIC_DYNAMIC
+    | ActiveCollisionTypes.DYNAMIC_KINEMATIC
+    | ActiveCollisionTypes.DYNAMIC_FIXED
+)
+
 MAX_MANIFOLD_POINTS = 4  # 3D manifold cap (reference src/lib.rs:328)
 
 
@@ -199,6 +220,9 @@ class Colliders:
     active_hooks: jax.Array  # [C] int32 bitmask
     contact_force_event_threshold: jax.Array  # [C]
     user_data: jax.Array     # [C] int32
+    # ActiveCollisionTypes bitmask (reference collider_components.rs:282):
+    # which body-type combinations this collider computes contacts for.
+    active_collision_types: jax.Array  # [C] int32
 
     @property
     def n(self) -> int:
@@ -262,9 +286,11 @@ class Contacts:
 # leaves are valid jit inputs; the H2D upload happens at the first step.
 import numpy as _np
 
+from rapier_tpu import precision as _prec
+
 
 def _f(shape):
-    return _np.zeros(shape, dtype=_np.float32)
+    return _np.zeros(shape, dtype=_prec.NP_FLOAT)
 
 
 def _i(shape, fill=0):
@@ -276,7 +302,7 @@ def _b(shape, fill=False):
 
 
 def _quat_id(n: int):
-    q = _np.zeros((n, 4), _np.float32)
+    q = _np.zeros((n, 4), _prec.NP_FLOAT)
     q[:, 3] = 1.0
     return q
 
@@ -289,7 +315,7 @@ def empty_bodies(n: int) -> Bodies:
         local_com=_f((n, 3)), inv_mass=_f((n,)),
         inv_principal_inertia=_f((n, 3)), principal_frame=quat_id,
         body_type=_i((n,), int(BodyType.FIXED)), enabled=_b((n,)),
-        locked_axes=_i((n,)), gravity_scale=_np.ones((n,), _np.float32),
+        locked_axes=_i((n,)), gravity_scale=_np.ones((n,), _prec.NP_FLOAT),
         linear_damping=_f((n,)), angular_damping=_f((n,)),
         dominance=_i((n,)), gyro_enabled=_b((n,)), mb_link=_b((n,)),
         can_sleep=_b((n,), True), sleeping=_b((n,)), sleep_timer=_f((n,)),
@@ -304,14 +330,16 @@ def empty_colliders(c: int) -> Colliders:
     return Colliders(
         parent=_i((c,), -1), local_pos=_f((c, 3)), local_rot=quat_id,
         shape_type=_i((c,), int(ShapeType.BALL)), shape_params=_f((c, 12)),
-        friction=_np.full((c,), 0.5, _np.float32), restitution=_f((c,)),
+        friction=_np.full((c,), 0.5, _prec.NP_FLOAT), restitution=_f((c,)),
         friction_combine=_i((c,)), restitution_combine=_i((c,)),
         collision_groups=_np.full((c,), 0xFFFF_FFFF, _np.uint32),
         solver_groups=_np.full((c,), 0xFFFF_FFFF, _np.uint32),
         sensor=_b((c,)), enabled=_b((c,)), contact_skin=_f((c,)),
         active_events=_i((c,)), active_hooks=_i((c,)),
-        contact_force_event_threshold=_np.full((c,), _np.inf, _np.float32),
+        contact_force_event_threshold=_np.full((c,), _np.inf, _prec.NP_FLOAT),
         user_data=_i((c,)),
+        active_collision_types=_np.full(
+            (c,), ACTIVE_COLLISION_TYPES_DEFAULT, _np.int32),
     )
 
 
@@ -385,14 +413,14 @@ def empty_joints(j: int) -> Joints:
         local_pos2=_f((j, 3)), local_rot2=quat_id,
         locked_axes=_i((j,)), limit_axes=_i((j,)), motor_axes=_i((j,)),
         coupled_axes=_i((j,)),
-        limit_min=_np.full((j, 6), -_np.inf, _np.float32),
-        limit_max=_np.full((j, 6), _np.inf, _np.float32),
+        limit_min=_np.full((j, 6), -_np.inf, _prec.NP_FLOAT),
+        limit_max=_np.full((j, 6), _np.inf, _prec.NP_FLOAT),
         motor_target_pos=_f((j, 6)), motor_target_vel=_f((j, 6)),
         motor_stiffness=_f((j, 6)), motor_damping=_f((j, 6)),
-        motor_max_force=_np.full((j, 6), 3.4e38, _np.float32),
+        motor_max_force=_np.full((j, 6), 3.4e38, _prec.NP_FLOAT),
         motor_model=_i((j, 6)),
-        softness_frequency=_np.full((j,), 1.0e6, _np.float32),
-        softness_damping=_np.ones((j,), _np.float32),
+        softness_frequency=_np.full((j,), 1.0e6, _prec.NP_FLOAT),
+        softness_damping=_np.ones((j,), _prec.NP_FLOAT),
         contacts_enabled=_b((j,), True), enabled=_b((j,)),
         impulses=_f((j, MAX_JOINT_ROWS)),
     )
@@ -420,44 +448,44 @@ class SimParams:
     compiled loop structure.
     """
 
-    dt: jax.Array = struct.field(default_factory=lambda: _np.float32(1.0 / 60.0))
+    dt: jax.Array = struct.field(default_factory=lambda: _prec.NP_FLOAT(1.0 / 60.0))
     gravity: jax.Array = struct.field(
-        default_factory=lambda: _np.array([0.0, -9.81, 0.0], _np.float32)
+        default_factory=lambda: _np.array([0.0, -9.81, 0.0], _prec.NP_FLOAT)
     )
-    length_unit: jax.Array = struct.field(default_factory=lambda: _np.float32(1.0))
+    length_unit: jax.Array = struct.field(default_factory=lambda: _prec.NP_FLOAT(1.0))
     contact_natural_frequency: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(30.0)
+        default_factory=lambda: _prec.NP_FLOAT(30.0)
     )
     contact_damping_ratio: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(5.0)
+        default_factory=lambda: _prec.NP_FLOAT(5.0)
     )
     joint_natural_frequency: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(1.0e6)
+        default_factory=lambda: _prec.NP_FLOAT(1.0e6)
     )
     joint_damping_ratio: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(1.0)
+        default_factory=lambda: _prec.NP_FLOAT(1.0)
     )
     warmstart_coefficient: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(1.0)
+        default_factory=lambda: _prec.NP_FLOAT(1.0)
     )
     normalized_allowed_linear_error: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(0.001)
+        default_factory=lambda: _prec.NP_FLOAT(0.001)
     )
     normalized_max_corrective_velocity: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(10.0)
+        default_factory=lambda: _prec.NP_FLOAT(10.0)
     )
     normalized_prediction_distance: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(0.002)
+        default_factory=lambda: _prec.NP_FLOAT(0.002)
     )
     # Sleeping thresholds (reference rigid_body_components.rs:1226-1239).
     sleep_linear_threshold: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(0.4)
+        default_factory=lambda: _prec.NP_FLOAT(0.4)
     )
     sleep_angular_threshold: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(0.5)
+        default_factory=lambda: _prec.NP_FLOAT(0.5)
     )
     time_until_sleep: jax.Array = struct.field(
-        default_factory=lambda: _np.float32(2.0)
+        default_factory=lambda: _prec.NP_FLOAT(2.0)
     )
     # --- static (recompile on change) ---
     num_solver_iterations: int = struct.field(pytree_node=False, default=4)
@@ -503,6 +531,10 @@ class SimParams:
     # pure-JAX color loop elsewhere; "jax"/"pallas" force a path ("pallas"
     # off-TPU runs the kernel in interpret mode — slow, for tests).
     solver_backend: str = struct.field(pytree_node=False, default="auto")
+    # 2D block solver: manifold points (0, 1) solved as one coupled 2x2 MLCP
+    # (reference BLOCK_SOLVER_ENABLED = dim2, integration_parameters.rs:9).
+    # PhysicsWorld2D turns this on; forces the pure-JAX sweep.
+    block_solver_2x2: bool = struct.field(pytree_node=False, default=False)
 
     # -- derived soft-constraint coefficients (SpringCoefficients,
     #    reference integration_parameters.rs:74-138) --

@@ -1,0 +1,101 @@
+"""Size-dispatched gather/scatter routing for large single scenes.
+
+Small scenes route body<->lane traffic through one-hot matmuls ([K, N]
+equality masks contracted on the MXU) — at RL-batch sizes (N ~ 128,
+K ~ 512) that beats TPU's computed-index gather/scatter lowering by a wide
+margin (round-1 profiling).  But the one-hot matrices are O(K*N): a
+4,900-box pyramid (N ~ 5k, K ~ 40k lanes) would spend gigabytes of HBM per
+pass, and the dense [Pn, Po] warmstart join is O(P^2).  Above the
+thresholds here, the pipeline switches (at TRACE time — shapes are static)
+to linear alternatives:
+
+- gathers: plain `jnp.take` (one dynamic-gather per field),
+- scatter-add / scatter-max: sort lanes by target id ONCE (the indices are
+  loop-invariant within a step), then cumsum/cummax over the sorted values
+  and difference/read at precomputed segment boundaries.  No XLA scatter is
+  ever emitted (TPU lowers computed-index scatters to serial loops).
+
+The reference has no analog (its solver is a sequential arena walk); this
+module is the TPU recast of "index the constraint graph efficiently".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# One-hot [K, N] routing masks above this element count are replaced by
+# take/segment paths.  2**24 f32 elements = 64 MB per mask: comfortably
+# in-budget for the RL-batch scenes (which also vmap over thousands of
+# scenes) and far below the GB-scale masks a 5k-body scene would need.
+DENSE_ROUTE_ELEMS = 2**24
+
+# Dense [Pn, Po] warmstart-join limit (physics_pipeline._match_previous).
+DENSE_JOIN_ELEMS = 2**26
+
+
+class SegmentPlan(NamedTuple):
+    """Precomputed sort-order routing of K lanes into N segments.
+
+    Build once per step per index array (argsort + boundary search), reuse
+    for every segment reduction over those indices (solver sweeps, coloring
+    rounds, wake propagation hops all re-reduce with different values but
+    identical indices).
+    """
+
+    perm: jax.Array        # [K] int32 — lane order sorted by segment id
+    sorted_ids: jax.Array  # [K] int32 — segment id per sorted slot
+    starts: jax.Array      # [N] int32 — first sorted slot of each segment
+    ends: jax.Array        # [N] int32 — one past the last sorted slot
+    n_segments: int
+
+
+def make_segment_plan(ids, n_segments: int) -> SegmentPlan:
+    """ids: [K] int32 in [0, n_segments); out-of-range ids are clamped into
+    the last segment, so callers should direct masked lanes to a sentinel
+    segment they ignore."""
+    ids = jnp.clip(ids, 0, n_segments - 1)
+    perm = jnp.argsort(ids)
+    sorted_ids = ids[perm]
+    edges = jnp.arange(n_segments, dtype=ids.dtype)
+    starts = jnp.searchsorted(sorted_ids, edges, side="left")
+    ends = jnp.searchsorted(sorted_ids, edges, side="right")
+    return SegmentPlan(perm.astype(jnp.int32), sorted_ids.astype(jnp.int32),
+                       starts.astype(jnp.int32), ends.astype(jnp.int32),
+                       n_segments)
+
+
+def segment_sum(values, plan: SegmentPlan):
+    """Sum lane values [..., K] into segments [..., N] (cumsum + boundary
+    difference; no scatter)."""
+    vs = jnp.take(values, plan.perm, axis=-1)
+    zero = jnp.zeros(vs.shape[:-1] + (1,), vs.dtype)
+    cs = jnp.concatenate([zero, jnp.cumsum(vs, axis=-1)], axis=-1)
+    return (jnp.take(cs, plan.ends, axis=-1)
+            - jnp.take(cs, plan.starts, axis=-1))
+
+
+def segment_max(values, plan: SegmentPlan, empty):
+    """Max of lane values [..., K] per segment [..., N]; `empty` fills
+    segments with no lanes.  A SEGMENTED max-scan (associative_scan with a
+    boundary-reset combiner — log-depth, no scatter) read at each segment's
+    last slot; a plain cummax would leak maxima across segments."""
+    vs = jnp.take(values, plan.perm, axis=-1)
+    ids_b = jnp.broadcast_to(plan.sorted_ids, vs.shape)
+
+    def combine(a, b):
+        ia, ma = a
+        ib, mb = b
+        return ib, jnp.where(ia == ib, jnp.maximum(ma, mb), mb)
+
+    _, sm = jax.lax.associative_scan(combine, (ids_b, vs), axis=-1)
+    out = jnp.take(sm, jnp.maximum(plan.ends - 1, 0), axis=-1)
+    has = plan.ends > plan.starts
+    return jnp.where(has, out, empty)
+
+
+def segment_any(values_bool, plan: SegmentPlan):
+    """OR of boolean lane values per segment."""
+    return segment_max(values_bool.astype(jnp.int32), plan, 0) > 0

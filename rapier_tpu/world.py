@@ -21,6 +21,8 @@ import numpy as np
 from rapier_tpu.geometry import mass_properties as mp
 from rapier_tpu.pipeline.physics_pipeline import step as _step_fn
 from rapier_tpu.types import (
+    ACTIVE_COLLISION_TYPES_DEFAULT,
+    ActiveCollisionTypes,
     BodyType,
     CoefficientCombineRule,
     SceneState,
@@ -166,6 +168,7 @@ class ColliderBuilder:
     contact_force_event_threshold: float = float("inf")
     enabled: bool = True
     user_data: int = 0
+    active_collision_types: int = ACTIVE_COLLISION_TYPES_DEFAULT
 
     # --- shape constructors (ColliderBuilder ctors, collider.rs:688-1108) ---
     @staticmethod
@@ -426,6 +429,19 @@ class ColliderBuilder:
 
     def as_sensor(self):
         return self._set(sensor=True)
+
+    def with_active_collision_types(self, mask: int):
+        """ActiveCollisionTypes bitmask (collider_components.rs:282); see
+        types.ActiveCollisionTypes for the variants."""
+        return self._set(active_collision_types=int(mask))
+
+    def with_collision_groups(self, groups: int):
+        """InteractionGroups packed as memberships << 16 | filter
+        (interaction_groups.rs); 0 = never collides."""
+        return self._set(collision_groups=int(groups))
+
+    def with_solver_groups(self, groups: int):
+        return self._set(solver_groups=int(groups))
 
 
 
@@ -741,6 +757,7 @@ class PhysicsWorld:
         self._pending_joints: list[tuple[GenericJointBuilder, int, int]] = []
         # (joint, parent_body, child_body, kinematic)
         self._pending_mb_joints: list[tuple] = []
+        self._pending_couplings: list[tuple] = []
         self.params = params if params is not None else SimParams()
         self.params = self.params.replace(
             gravity=np.asarray(gravity, np.float32)
@@ -807,6 +824,19 @@ class PhysicsWorld:
         assert self.state is None, "world already built (rebuild support: TODO)"
         self._pending_mb_joints.append((joint, body1, body2, kinematic))
         return len(self._pending_mb_joints) - 1
+
+    def insert_dof_coupling(self, body_a: int, axis_a: int, body_b: int,
+                            axis_b: int, ratio: float, offset: float = 0.0):
+        """Holonomic coupling q_a = ratio * q_b + offset between two
+        multibody-joint dofs, identified by the joints' CHILD bodies and
+        JointAxesMask slots (reference MultibodyDofCoupling, multibody.rs:72;
+        the rapier3d-mjcf loader materializes <equality><joint> and fixed
+        tendons this way, conversion.rs materialize_tendons).  Both bodies
+        must end up links of the SAME articulation at build()."""
+        assert self.state is None, "world already built"
+        self._pending_couplings.append(
+            (int(body_a), int(axis_a), int(body_b), int(axis_b),
+             float(ratio), float(offset)))
 
     def insert_impulse_joint(self, body1: int, body2: int,
                              joint: GenericJointBuilder) -> int:
@@ -909,6 +939,7 @@ class PhysicsWorld:
             colliders["active_hooks"][i] = cb.active_hooks
             colliders["contact_force_event_threshold"][i] = cb.contact_force_event_threshold
             colliders["user_data"][i] = cb.user_data
+            colliders["active_collision_types"][i] = cb.active_collision_types
 
             if parent >= 0 and not cb.sensor:
                 if i in hull_info:
@@ -1119,9 +1150,30 @@ class PhysicsWorld:
 
         m = len(trees)
         l = max(len(t) for t in trees)
-        mb0 = empty_multibodies(m, l)
+
+        # Dof couplings (insert_dof_coupling): resolve child bodies to
+        # (tree, link) slots and flat dof indices.
+        body_tl = {b: (ti, li) for ti, order in enumerate(trees)
+                   for li, b in enumerate(order)}
+        coup_by_tree: dict[int, list] = {}
+        for (ba, aa, bb, ab, ratio, off) in self._pending_couplings:
+            assert ba in body_tl and bb in body_tl, (
+                f"dof coupling bodies {ba},{bb} are not multibody links")
+            (ta, la), (tb, lb) = body_tl[ba], body_tl[bb]
+            assert ta == tb, "dof coupling spans two articulations"
+            coup_by_tree.setdefault(ta, []).append(
+                (la * 6 + aa, lb * 6 + ab, ratio, off))
+        k_coup = max([4] + [len(v) for v in coup_by_tree.values()])
+
+        mb0 = empty_multibodies(m, l, k_couplings=k_coup)
         arr = {f.name: np.asarray(getattr(mb0, f.name)).copy()
                for f in _dc.fields(mb0)}
+        for ti, lst in coup_by_tree.items():
+            for s, (fa, fb, ratio, off) in enumerate(lst):
+                arr["coupling_a"][ti, s] = fa
+                arr["coupling_b"][ti, s] = fb
+                arr["coupling_ratio"][ti, s] = ratio
+                arr["coupling_offset"][ti, s] = off
 
         for ti, order in enumerate(trees):
             body_to_link = {b: i for i, b in enumerate(order)}
@@ -1328,6 +1380,9 @@ class PhysicsWorld:
                 c.contact_force_event_threshold, i,
                 cb.contact_force_event_threshold,
             ),
+            active_collision_types=_at_set(
+                c.active_collision_types, i, cb.active_collision_types,
+            ),
         )
         self.state = self.state.replace(
             colliders=self.state.colliders.replace(**upd)
@@ -1511,6 +1566,45 @@ class PhysicsWorld:
         for _ in range(n):
             self.state, self.last_events = self._jit_step(self.state, self.params)
         return self.state
+
+    def collide(self, n: int = 1):
+        """Collision detection ONLY — no dynamics (reference
+        CollisionPipeline::step, collision_pipeline.rs:29).  Updates the
+        contact/intersection state and events for externally-posed scenes."""
+        if self.state is None:
+            self.build()
+        if not hasattr(self, "_jit_collide"):
+            import jax as _jax
+
+            from rapier_tpu.pipeline.collision_pipeline import collide
+            self._jit_collide = _jax.jit(collide)
+        for _ in range(n):
+            self.state, self.last_events = self._jit_collide(
+                self.state, self.params
+            )
+        return self.state
+
+    # -- intersection graph queries (narrow_phase.rs:708 intersections) ----
+    def intersection_pairs(self):
+        """[(collider1, collider2)] currently-overlapping pairs where either
+        collider is a sensor (the intersection graph; reference
+        NarrowPhase::intersection_pairs)."""
+        c = self.state.contacts
+        cols = self.state.colliders
+        c1 = np.asarray(c.collider1)
+        c2 = np.asarray(c.collider2)
+        sens = np.asarray(cols.sensor)
+        mask = (
+            np.asarray(c.touching) & (c1 >= 0)
+            & (sens[np.maximum(c1, 0)] | sens[np.maximum(c2, 0)])
+        )
+        return list(zip(c1[mask].tolist(), c2[mask].tolist()))
+
+    def is_intersecting(self, collider_a: int, collider_b: int) -> bool:
+        """Whether a sensor pair currently overlaps
+        (NarrowPhase::intersection_pair)."""
+        a, b = sorted((int(collider_a), int(collider_b)))
+        return (a, b) in set(self.intersection_pairs())
 
     def body_translation(self, h: int) -> np.ndarray:
         return np.asarray(self.state.bodies.pos[_hidx(h)])

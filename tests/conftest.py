@@ -3,6 +3,15 @@ import os
 # Tests ALWAYS run on a virtual 8-device CPU mesh (SURVEY §2.3) — force it
 # even when the environment presets JAX_PLATFORMS (e.g. to the TPU tunnel).
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon site wrapper intercepts backend resolution and can still route
+# compute to the TPU tunnel despite the env var.  RAPIER_TPU_TESTS_CPU=1
+# pins the platform through jax.config (the only override the wrapper
+# honors) — use it when the tunnel is down or contended.
+if os.environ.get("RAPIER_TPU_TESTS_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

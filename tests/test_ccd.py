@@ -84,3 +84,29 @@ def test_ccd3_wall_smash_no_tunneling():
         for b, wx in zip(boxes, [20.0] * 4 + [30.0] * 4)
     )
     assert moved, "walls never felt the impact"
+
+
+def test_fast_ball_stopped_by_trimesh_ccd():
+    # Mesh CCD (dynamics/ccd.py mesh lanes; reference mesh TOI sweeps inside
+    # find_first_impact, ccd_solver.rs:149-280): a fast ball must not tunnel
+    # a thin trimesh wall.
+    def run(ccd: bool):
+        w = PhysicsWorld(gravity=(0, 0, 0))
+        wall = w.insert_body(RigidBodyBuilder.fixed())
+        # A 10x10 vertical quad (two triangles) in the yz plane at x=0.
+        verts = [(0, -5, -5), (0, 5, -5), (0, 5, 5), (0, -5, 5)]
+        tris = [(0, 1, 2), (0, 2, 3)]
+        w.insert_collider(ColliderBuilder.trimesh(verts, tris), wall)
+        bb = (RigidBodyBuilder.dynamic().with_translation((-5, 0, 0))
+              .with_linvel((100, 0, 0)))
+        bb.ccd_enabled = ccd
+        b = w.insert_body(bb)
+        w.insert_collider(ColliderBuilder.ball(0.5), b)
+        w.build()
+        w.step(10)
+        return float(np.asarray(w.body_translation(b))[0])
+
+    x_no = run(False)
+    assert x_no > 5.0, f"without CCD the ball should tunnel, x={x_no}"
+    x_ccd = run(True)
+    assert -1.5 < x_ccd < 0.0, f"mesh CCD failed to clamp: x={x_ccd}"

@@ -154,3 +154,75 @@ def test_mjcf_use_multibody_keyframe_teleports():
     w.step(1)  # FK realizes the link pose; no gravity so q stays put
     vals = h.read_sensors(w)
     assert abs(vals["q_shoulder"] - 0.5) < 5e-2, vals
+
+
+def test_mjcf_tendon_couples_joints():
+    """<tendon><fixed> with equal coefs couples its joints 1:1 through the
+    multibody dof couplings (rapier3d-mjcf conversion.rs
+    materialize_tendons) — driving joint a drags joint b along."""
+    model = """
+<mujoco>
+  <worldbody>
+    <body name="root" pos="0 0 2">
+      <body name="l1" pos="0 0 -0.4">
+        <joint name="j1" type="hinge" axis="0 1 0"/>
+        <geom type="capsule" fromto="0 0 0 0 0 -0.4" size="0.04"/>
+        <body name="l2" pos="0 0 -0.4">
+          <joint name="j2" type="hinge" axis="0 1 0"/>
+          <geom type="capsule" fromto="0 0 0 0 0 -0.4" size="0.04"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="curl">
+      <joint joint="j1" coef="1"/>
+      <joint joint="j2" coef="1"/>
+    </fixed>
+  </tendon>
+  <actuator><position name="a1" joint="j1" kp="80" kv="8"/></actuator>
+</mujoco>
+"""
+    w = PhysicsWorld(gravity=(0, 0, 0))
+    h = load_mjcf(model, w, use_multibody=True)
+    assert "curl" in h.tendons and len(h.tendons["curl"]) == 2
+    assert len(h.couplings) == 1
+    w.build()
+    h.apply_controls(w, [0.8])   # drive j1 to 0.8 rad
+    w.step(180)
+    q1 = h.joint_value(w, "j1")
+    q2 = h.joint_value(w, "j2")
+    assert abs(q1 - 0.8) < 0.1, q1
+    assert abs(q2 - q1) < 0.05, f"tendon coupling broken: q1={q1} q2={q2}"
+
+
+def test_mjcf_equality_connect_holds_bodies():
+    """<equality><connect> materializes as a ball joint between the bodies
+    (conversion.rs:570-585)."""
+    model = """
+<mujoco>
+  <worldbody>
+    <body name="a" pos="0 0 1">
+      <joint type="free"/>
+      <geom type="sphere" size="0.2"/>
+    </body>
+    <body name="b" pos="1 0 1">
+      <joint type="free"/>
+      <geom type="sphere" size="0.2"/>
+    </body>
+  </worldbody>
+  <equality>
+    <connect name="link" body1="a" body2="b" anchor="0.5 0 0"/>
+  </equality>
+</mujoco>
+"""
+    w = PhysicsWorld(gravity=(0, 0, -9.81))
+    h = load_mjcf(model, w)
+    assert "link" in h.equalities
+    w.build()
+    w.step(120)
+    pa = np.asarray(w.body_translation(h.bodies["a"]))
+    pb = np.asarray(w.body_translation(h.bodies["b"]))
+    assert np.isfinite(pa).all() and np.isfinite(pb).all()
+    # The connect anchor keeps the two spheres 1m apart while both free-fall.
+    assert abs(np.linalg.norm(pa - pb) - 1.0) < 0.05

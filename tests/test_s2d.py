@@ -217,10 +217,11 @@ def test_s2d_ball_and_chain():
 
 
 @pytest.mark.xfail(
-    reason="f32 end-to-end engine: contact depths at a 1e5 origin lose "
-    "~0.01 absolute precision and the stack settles visibly; the reference "
-    "covers this with its f64 builds (ARCHITECTURE.md dim/precision "
-    "variants) — an f64 dtype axis is tracked for a later round",
+    reason="f32 precision: contact depths at a 1e5 origin lose ~0.01 "
+    "absolute precision and the stack settles visibly — exactly why the "
+    "reference ships f64 builds (src/lib.rs:64-66).  The f64 axis PASSES "
+    "this scene: tests/test_2d_core.py::test_far_pyramid_stands_at_f64 "
+    "(rapier_tpu.precision.set_precision('f64')).",
     strict=False,
 )
 def test_s2d_far_pyramid():

@@ -49,3 +49,36 @@ def test_compaction_overflow_counted_and_finite():
     pos, ov = _roll(2)            # cap below the touching-pair count
     assert ov > 0                 # drops surfaced, not silent
     assert np.all(np.isfinite(pos))
+
+
+def _roll_jax(cap, n_steps=40):
+    world = stack_world(n=6)
+    state = jax.tree.map(jnp.asarray, world.build())
+    params = world.params.replace(
+        solver_backend="jax", max_solver_pairs=cap
+    )
+
+    @jax.jit
+    def r(s, p):
+        def body(s, _):
+            s2, ev = step(s, p)
+            return s2, ev.solver_overflow
+        return jax.lax.scan(body, s, None, length=n_steps)
+
+    s, ov = r(state, params)
+    return np.asarray(s.bodies.pos), int(np.max(np.asarray(ov)))
+
+
+def test_jax_path_compaction_matches_full_width():
+    # The pure-JAX path (large scenes where the Pallas kernel is
+    # VMEM-infeasible) compacts the same way ("compact_jax").
+    pos_full, ov_full = _roll_jax(0)
+    pos_cap, ov_cap = _roll_jax(32)
+    assert ov_full == 0 and ov_cap == 0
+    np.testing.assert_allclose(pos_cap, pos_full, rtol=1e-4, atol=1e-4)
+
+
+def test_jax_path_compaction_overflow_finite():
+    pos, ov = _roll_jax(2)
+    assert ov > 0
+    assert np.all(np.isfinite(pos))
