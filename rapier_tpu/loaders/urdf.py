@@ -6,9 +6,9 @@ Host-side port of the reference rapier3d-urdf crate semantics
 <collision> geometry becomes a collider, and each <joint> becomes an impulse
 joint (fixed/revolute/continuous/prismatic supported; floating = no joint).
 
-Meshes referenced by <mesh filename=...> load via trimesh collider tables when
-the file is a simple OBJ/STL ASCII file; otherwise the collision is skipped
-with a warning (the reference delegates to rapier3d-meshloader).
+Meshes referenced by <mesh filename=...> load via trimesh collider tables
+(OBJ, binary/ASCII STL, and Collada .dae — the reference's
+rapier3d-meshloader format features); unknown formats skip the collision.
 """
 
 from __future__ import annotations
@@ -169,7 +169,96 @@ def _load_mesh_file(path: str):
             t = inv.reshape(-1, 3).astype(np.int32)
             return uniq.astype(np.float32), t
         return v, np.zeros((0, 3), np.int32)
+    if path.lower().endswith(".dae"):
+        return _load_collada(path)
     return None
+
+
+def _load_collada(path: str):
+    """Minimal Collada (.dae) geometry reader (reference `collada` feature of
+    rapier3d-urdf / rapier3d-meshloader): every <library_geometries> mesh's
+    <triangles>/<polylist> primitives, concatenated; <unit meter=...> scale
+    applied.  Materials/scenes/controllers are ignored — collision geometry
+    only."""
+    tree = ET.parse(path)
+    root = tree.getroot()
+    # Collada files are namespaced; match on local tag names.
+    def local(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    def findall(elem, name):
+        return [e for e in elem.iter() if local(e.tag) == name]
+
+    scale = 1.0
+    for a in findall(root, "unit"):
+        scale = float(a.get("meter", 1.0))
+
+    all_v, all_t = [], []
+    base_holder = [0]
+    for geom in findall(root, "geometry"):
+        for mesh in [e for e in geom if local(e.tag) == "mesh"]:
+            sources = {}
+            for s in [e for e in mesh if local(e.tag) == "source"]:
+                arr = next((e for e in s if local(e.tag) == "float_array"), None)
+                if arr is not None and arr.text:
+                    sources["#" + s.get("id", "")] = np.asarray(arr.text.split(), dtype=np.float64)
+            pos_by_vertid = {}
+            for vtx in [e for e in mesh if local(e.tag) == "vertices"]:
+                for inp in [e for e in vtx if local(e.tag) == "input"]:
+                    if inp.get("semantic") == "POSITION":
+                        pos_by_vertid["#" + vtx.get("id", "")] = (
+                            inp.get("source", ""))
+            src_base: dict = {}   # source id -> row offset into all_v
+
+            def _src_offset(v_src):
+                if v_src not in src_base:
+                    pos = sources.get(v_src)
+                    if pos is None:
+                        return None
+                    src_base[v_src] = base_holder[0]
+                    all_v.append((pos.reshape(-1, 3) * scale)
+                                 .astype(np.float32))
+                    base_holder[0] += len(all_v[-1])
+                return src_base[v_src]
+
+            for prim in [e for e in mesh
+                         if local(e.tag) in ("triangles", "polylist")]:
+                inputs = [e for e in prim if local(e.tag) == "input"]
+                v_off, v_src = 0, None
+                stride = 1
+                for inp in inputs:
+                    off = int(inp.get("offset", 0))
+                    stride = max(stride, off + 1)
+                    if inp.get("semantic") == "VERTEX":
+                        v_off = off
+                        v_src = pos_by_vertid.get(inp.get("source", ""))
+                p_el = next((e for e in prim if local(e.tag) == "p"), None)
+                if p_el is None or not p_el.text or v_src is None:
+                    continue
+                offset = _src_offset(v_src)
+                if offset is None:
+                    continue
+                idx = np.asarray(p_el.text.split(), dtype=np.int64)
+                vidx = idx[v_off::stride]
+                if local(prim.tag) == "polylist":
+                    vc_el = next((e for e in prim if local(e.tag) == "vcount"),
+                                 None)
+                    counts = (np.asarray(vc_el.text.split(), dtype=np.int64)
+                              if vc_el is not None and vc_el.text else
+                              np.full(len(vidx) // 3, 3, np.int64))
+                    tris = []
+                    c = 0
+                    for cnt in counts:        # fan-triangulate each polygon
+                        for k in range(1, cnt - 1):
+                            tris.append([vidx[c], vidx[c + k], vidx[c + k + 1]])
+                        c += cnt
+                    t = np.asarray(tris, np.int64).reshape(-1, 3)
+                else:
+                    t = vidx.reshape(-1, 3)
+                all_t.append((t + offset).astype(np.int32))
+    if not all_v:
+        return None
+    return np.concatenate(all_v), np.concatenate(all_t)
 
 
 def load_urdf(path_or_string: str, world: PhysicsWorld, *,

@@ -121,3 +121,40 @@ def test_urdf_use_multibody_pendulum():
     assert np.isfinite(q).all()
     # Shoulder limit: |angle| <= 2.0 rad.
     assert abs(q[li, 3]) <= 2.01
+
+
+def test_collada_mesh_loads(tmp_path):
+    """Minimal Collada (.dae) reader (reference rapier3d-urdf `collada`
+    feature): triangles + polylist quads, <unit meter> scaling."""
+    dae = tmp_path / "part.dae"
+    dae.write_text("""<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><unit name="millimeter" meter="0.001"/></asset>
+  <library_geometries>
+    <geometry id="g1"><mesh>
+      <source id="pos"><float_array id="pa" count="12">
+        0 0 0  1000 0 0  0 1000 0  1000 1000 0
+      </float_array></source>
+      <vertices id="verts"><input semantic="POSITION" source="#pos"/></vertices>
+      <triangles count="1">
+        <input semantic="VERTEX" source="#verts" offset="0"/>
+        <p>0 1 2</p>
+      </triangles>
+      <polylist count="1">
+        <input semantic="VERTEX" source="#verts" offset="0"/>
+        <vcount>4</vcount>
+        <p>0 1 3 2</p>
+      </polylist>
+    </mesh></geometry>
+  </library_geometries>
+</COLLADA>
+""")
+    from rapier_tpu.loaders.urdf import _load_mesh_file
+
+    out = _load_mesh_file(str(dae))
+    assert out is not None
+    verts, faces = out
+    assert verts.shape == (4, 3)
+    np.testing.assert_allclose(verts.max(), 1.0)  # mm -> m scaling
+    # 1 triangle + quad fan (2 tris) = 3 faces.
+    assert faces.shape == (3, 3)
