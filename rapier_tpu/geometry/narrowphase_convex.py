@@ -1,21 +1,20 @@
-"""Generic convex-convex contact kernel: sampled SAT + support-patch manifold.
+"""Generic convex-convex contact kernel: GJK/EPA + support-patch manifold.
 
 Covers every convex shape pair that lacks a specialized analytic kernel
-(cylinder/cone vs anything, and future convex hulls) — the TPU-friendly
-replacement for parry's GJK/EPA dispatch (SURVEY §7 hard-part #4: "analytic kernels
-for the 90% shape pairs and fixed-iteration [schemes] with masks for the
-rest").  Strategy:
+(cylinder/cone vs anything, convex hulls) — the TPU-native replacement for
+parry's GJK/EPA dispatch (reference `src/geometry/narrow_phase.rs:972-979`,
+SURVEY §7 hard-part #4).  Strategy:
 
-1. Evaluate the separation gap `sep(a) = h_B(-a) + a·(cB) - (h_A(a) + a·cA)`
-   on a curated axis set (frame axes of both shapes, their pairwise crosses,
-   and the center line), all oriented from A towards B.  The max-gap axis is
-   the SAT normal — exact whenever the true separating/least-penetration axis
-   is in the set (face and axis-aligned edge cases), conservative otherwise.
-2. Refine the normal with a few iterations of projected support-difference
-   descent.
-3. Build the manifold by sampling perturbed support points on BOTH shapes
+1. Exact contact normal + signed distance from masked fixed-iteration
+   GJK (separated) / EPA (penetrating) in `geometry/gjk.py`.
+2. Build the manifold by sampling perturbed support points on BOTH shapes
    around ±normal, keeping the flatter patch and measuring per-point depth
-   against the other side's tangent plane.
+   against the other side's tangent plane; the deepest point's depth is
+   clamped to the exact GJK/EPA distance.
+
+`support_gap` keeps the cheap sampled-SAT separation estimate for the inner
+loops of shape casts and CCD bisection (small to compile, conservative);
+the contact path uses the exact kernel.
 
 Feature ids quantize local support coordinates => stable across steps for
 warmstart matching.
@@ -108,7 +107,9 @@ def convex_convex(pA, rA, stA, prmA, pB, rB, stB, prmB,
         s_l = shp.support_point(stB, prmB, quat.inv_rotate(rB, d_w), hullB)
         return quat.transform_point(pB, rB, s_l), s_l
 
-    dist, n = support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB, hullA, hullB)
+    from rapier_tpu.geometry.gjk import contact_support_maps
+    dist, n, _cpA, _cpB = contact_support_maps(
+        pA, rA, stA, prmA, pB, rB, stB, prmB, hullA, hullB)
 
     # --- manifold: perturbed support patches on both sides ---
     t1 = jnp.cross(n, jnp.array([1.0, 0.0, 0.0]))
