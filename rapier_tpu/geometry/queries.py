@@ -477,6 +477,32 @@ def intersect_shape(bodies, colliders, shape_type, shape_params, pos, rot,
     return jax.vmap(per_collider)(jnp.arange(c), ok)
 
 
+def intersect_aabb_conservative(bodies, colliders, aabb_min, aabb_max,
+                                flags: int = 0, exclude_collider: int = -1,
+                                exclude_body: int = -1,
+                                groups: int = 0xFFFF_FFFF):
+    """Colliders whose (skin-inflated) AABB intersects the query AABB
+    (QueryPipeline::intersect_aabb_conservative, query_pipeline.rs —
+    conservative: may include non-touching colliders, never misses one).
+
+    Returns a [C] bool mask."""
+    from rapier_tpu.geometry import shapes as _shapes
+
+    bodies = jax.tree.map(jnp.asarray, bodies)
+    colliders = jax.tree.map(jnp.asarray, colliders)
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    mins, maxs = _shapes.compute_aabbs(
+        colliders.shape_type, colliders.shape_params, w_pos, w_rot)
+    skin = colliders.contact_skin[:, None]
+    mins, maxs = mins - skin, maxs + skin
+    lo = jnp.asarray(aabb_min, mins.dtype)
+    hi = jnp.asarray(aabb_max, mins.dtype)
+    ok = _filter_mask(colliders, bodies.body_type, flags,
+                      exclude_collider, exclude_body, groups)
+    hit = jnp.all(mins <= hi[None], axis=-1) & jnp.all(maxs >= lo[None], axis=-1)
+    return ok & hit
+
+
 def cast_shape_nonlinear(bodies, colliders, shape_type, shape_params, pos,
                          rot, linvel, angvel, max_toi, flags: int = 0,
                          exclude_collider: int = -1, exclude_body: int = -1,

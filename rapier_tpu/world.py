@@ -146,6 +146,16 @@ class RigidBodyBuilder:
     def lock_translations(self):
         return self._set(locked_axes=self.locked_axes | 0b111)
 
+    def enabled_rotations(self, x: bool, y: bool, z: bool):
+        """Lock every rotation axis whose flag is False (reference
+        RigidBodyBuilder::enabled_rotations, rigid_body.rs)."""
+        mask = (0 if x else 1 << 3) | (0 if y else 1 << 4) | (0 if z else 1 << 5)
+        return self._set(locked_axes=(self.locked_axes & 0b111) | mask)
+
+    def enabled_translations(self, x: bool, y: bool, z: bool):
+        mask = (0 if x else 1) | (0 if y else 2) | (0 if z else 4)
+        return self._set(locked_axes=(self.locked_axes & (0b111 << 3)) | mask)
+
 
 @dataclass
 class ColliderBuilder:
@@ -748,7 +758,14 @@ class PhysicsWorld:
 
     def __init__(self, gravity=(0.0, -9.81, 0.0), params: Optional[SimParams] = None,
                  max_pairs: Optional[int] = None, body_capacity: Optional[int] = None,
-                 collider_capacity: Optional[int] = None):
+                 collider_capacity: Optional[int] = None,
+                 nan_policy: str = "ignore", nan_check_every: int = 16):
+        assert nan_policy in ("ignore", "trap", "rollback")
+        self.nan_policy = nan_policy
+        self.nan_check_every = nan_check_every
+        self.nan_rollbacks = 0
+        self._nan_tick = 0
+        self._last_finite: Optional[SceneState] = None
         self._pending_bodies: list[RigidBodyBuilder] = []
         self._pending_colliders: list[tuple[ColliderBuilder, int]] = []
         # collider index -> build-time MassProperties (incl. mesh/hull mass
@@ -1565,7 +1582,43 @@ class PhysicsWorld:
             self.build()
         for _ in range(n):
             self.state, self.last_events = self._jit_step(self.state, self.params)
+            if self.nan_policy != "ignore":
+                self._nan_guard()
         return self.state
+
+    def _nan_guard(self):
+        """NaN-trap / auto-rollback (the TPU analog of the reference's
+        snapshot-rollback recovery story, SURVEY §5.3; repro scene
+        examples3d/debug_rollback3.rs).  Opt-in via
+        ``PhysicsWorld(nan_policy="trap" | "rollback")`` — every
+        ``nan_check_every`` steps the body state is checked host-side
+        (one device sync, hence opt-in); "trap" raises immediately,
+        "rollback" restores the last finite snapshot and counts the event
+        in ``self.nan_rollbacks``."""
+        self._nan_tick += 1
+        if self._nan_tick % max(1, int(self.nan_check_every)) != 0:
+            return
+        b = self.state.bodies
+        finite = bool(
+            np.isfinite(np.asarray(b.pos)).all()
+            and np.isfinite(np.asarray(b.linvel)).all()
+            and np.isfinite(np.asarray(b.angvel)).all()
+        )
+        if finite:
+            if self.nan_policy == "rollback":
+                self._last_finite = self.state
+            return
+        if self.nan_policy == "trap":
+            raise FloatingPointError(
+                f"non-finite body state at step {self._nan_tick} "
+                "(nan_policy='trap')")
+        # rollback
+        self.nan_rollbacks += 1
+        if self._last_finite is None:
+            raise FloatingPointError(
+                "non-finite body state and no finite snapshot to roll "
+                "back to (nan_policy='rollback')")
+        self.state = self._last_finite
 
     def collide(self, n: int = 1):
         """Collision detection ONLY — no dynamics (reference
@@ -1724,6 +1777,18 @@ class PhysicsWorld:
             jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
             **kw,
         )
+        return np.nonzero(np.asarray(mask))[0]
+
+    def colliders_with_aabb_intersecting_aabb(self, aabb_min, aabb_max,
+                                              **kw) -> np.ndarray:
+        """Collider indices whose conservative AABB intersects [min, max]
+        (QueryPipeline::intersect_aabb_conservative)."""
+        from rapier_tpu.geometry import queries
+
+        mask = queries.intersect_aabb_conservative(
+            self.state.bodies, self.state.colliders,
+            jnp.asarray(aabb_min, jnp.float32),
+            jnp.asarray(aabb_max, jnp.float32), **kw)
         return np.nonzero(np.asarray(mask))[0]
 
     def cast_shape_nonlinear(self, shape_type, shape_params, pos, rot,

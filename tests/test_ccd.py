@@ -74,7 +74,14 @@ def test_ccd3_wall_smash_no_tunneling():
     # the discrete solver resolves the impact).
     assert xs[-1] < 350.0, f"ball tunneled (free flight = 500): x={xs[-1]}"
     v_end = float(np.asarray(w.body_linvel(ball))[0])
-    assert v_end < 950.0, f"ball kept its speed — walls were ghosts: {v_end}"
+    # Momentum argument for the bound: the ball (density 10, r=0.5 =>
+    # m~5.24 kg) at 1000 m/s strikes two walls; at y=2 it directly hits
+    # >=2 of the 2 kg boxes per wall.  Treating each wall hit as even a
+    # HALF-inelastic collision with just those two boxes bounds the exit
+    # speed below ~600 m/s (fully inelastic would give ~320).  Measured
+    # engine behavior: ~400 m/s — 600 leaves 1.5x headroom while still
+    # falsifying ghost walls (which would leave ~1000).
+    assert v_end < 600.0, f"ball kept its speed — walls were ghosts: {v_end}"
     # The first wall stopped the ball at least once (clamped step).
     deltas = np.diff([0.0] + xs)
     assert deltas.min() < 10.0, f"no clamped step observed: {deltas[:5]}"
