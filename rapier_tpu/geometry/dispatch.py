@@ -147,9 +147,8 @@ def _bucket_cap(ta, tb, counts, p):
     return min(cap, p)
 
 
-def _run_bucketed(kern, mask, cap: int, TA, TB):
-    """Gather `mask` lanes into a [*, cap] bucket, run a lane-last kernel,
-    scatter the manifold back to P lanes.  Returns (manifold, overflow)."""
+def _bucket_route(mask, cap: int):
+    """Compacting one-hot route [C, P] for `mask` lanes + (bvalid, overflow)."""
     from rapier_tpu.utils.compaction import compact_indices
 
     from rapier_tpu import precision as _prec
@@ -158,11 +157,14 @@ def _run_bucketed(kern, mask, cap: int, TA, TB):
     src, bvalid, overflow = compact_indices(mask, cap)
     ids = jnp.arange(p)
     oh = ((src[:, None] == ids[None, :]) & bvalid[:, None]).astype(f32)  # [C, P]
+    return oh, bvalid, overflow
 
-    TAb = TA @ oh.T                       # [38, C]
-    TBb = TB @ oh.T
-    man_b = kern(TAb[0:3], TAb[3:7], TAb[7:19], TBb[0:3], TBb[3:7], TBb[7:19])
 
+def _scatter_manifold(man_b, oh, bvalid, p: int) -> "nph.Manifold":
+    """Route a bucket manifold [*, C] back to the full [*, P] lanes."""
+    from rapier_tpu import precision as _prec
+    f32 = _prec.FLOAT
+    cap = oh.shape[0]
     covered = (bvalid.astype(f32) @ oh) > 0                    # [P]
     normal = man_b.normal @ oh                                 # [3, P]
     unit_y = jnp.zeros((3, p)).at[1].set(1.0)
@@ -176,9 +178,19 @@ def _run_bucketed(kern, mask, cap: int, TA, TB):
     fhi = ((man_b.fid >> 16) & 0xFFFF).astype(f32) @ oh
     fid = flo.astype(jnp.int32) | (fhi.astype(jnp.int32) << 16)
     fid = jnp.where(covered[None], fid, -1)
-    man = nph.Manifold(normal=normal, point=point, dist=dist, fid=fid,
-                       valid=valid)
-    return man, overflow
+    return nph.Manifold(normal=normal, point=point, dist=dist, fid=fid,
+                        valid=valid)
+
+
+def _run_bucketed(kern, mask, cap: int, TA, TB):
+    """Gather `mask` lanes into a [*, cap] bucket, run a lane-last kernel,
+    scatter the manifold back to P lanes.  Returns (manifold, overflow)."""
+    p = mask.shape[0]
+    oh, bvalid, overflow = _bucket_route(mask, cap)
+    TAb = TA @ oh.T                       # [38, C]
+    TBb = TB @ oh.T
+    man_b = kern(TAb[0:3], TAb[3:7], TAb[7:19], TBb[0:3], TBb[3:7], TBb[7:19])
+    return _scatter_manifold(man_b, oh, bvalid, p), overflow
 
 
 def _soft_ccd_cols(bodies, colliders, safe_p, parent, dt):
@@ -393,7 +405,37 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
             convA = convA | (tA == t)
             convB = convB | (tB == t)
         cc_mask = pair_valid & ~matched & convA & convB
-        if hullA is not None:
+        # Census-capped bucket: only pairs where at least one side is a
+        # GENERIC convex type (no analytic kernel) reach this kernel, so
+        # the bucket is sized by the generic-collider census — the GJK/EPA
+        # iteration then runs on a fraction of the lane buffer.
+        cap_cc = P
+        if _counts is not None:
+            generic = [
+                t for t in pres_conv
+                if any((ShapeType(min(t, o)), ShapeType(max(t, o)))
+                       not in _PAIR_KERNELS and _pair_possible(t, o)
+                       for o in pres_conv)
+            ]
+            est = sum(_counts.get(t, 0) for t in generic)
+            cap_cc = min(P, max(64, -(-est * _BUCKET_PAIR_FACTOR // 64) * 64))
+        if cap_cc < P:
+            ohcc, ccvalid, cc_drop = _bucket_route(cc_mask, cap_cc)
+            bucket_dropped = bucket_dropped + cc_drop
+            TAb = TA @ ohcc.T
+            TBb = TB @ ohcc.T
+            tAb = TAb[19].astype(jnp.int32)
+            tBb = TBb[19].astype(jnp.int32)
+            args = (TAb[0:3], TAb[3:7], tAb, TAb[7:19],
+                    TBb[0:3], TBb[3:7], tBb, TBb[7:19])
+            if hullA is not None:
+                hAb = jnp.einsum("vjp,cp->vjc", hullA, ohcc)
+                hBb = jnp.einsum("vjp,cp->vjc", hullB, ohcc)
+                man_b = vlane(convex_convex)(*args, hAb, hBb)
+            else:
+                man_b = vlane(convex_convex)(*args)
+            man_cc = _scatter_manifold(man_b, ohcc, ccvalid, P)
+        elif hullA is not None:
             man_cc = vlane(convex_convex)(
                 pA, rA, tA, prmA, pB, rB, tB, prmB, hullA, hullB
             )

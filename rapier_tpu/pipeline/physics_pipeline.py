@@ -382,6 +382,17 @@ def step(state: SceneState, params: SimParams, hooks=None):
     sent = n
     t1 = jnp.where(edge_dd, eb1, sent)
     t2 = jnp.where(edge_dd, eb2, sent)
+    # Large scenes: the touching dynamic-dynamic edges are a small subset of
+    # the candidate-pair lanes — compact them into the solver-cap width so
+    # the K-hop wake loop (sleep_propagation_iters segment sweeps) works
+    # cap lanes instead of every broad-phase candidate lane.
+    cap_e = int(getattr(params, "max_solver_pairs", 0) or 0)
+    if 0 < cap_e < t1.shape[0]:
+        from rapier_tpu.utils.compaction import compact_indices as _ci
+
+        esrc, evalid, _eovf = _ci(edge_dd, cap_e)
+        t1 = jnp.where(evalid, jnp.take(t1, esrc), sent)
+        t2 = jnp.where(evalid, jnp.take(t2, esrc), sent)
     n_edges = t1.shape[0]
     if n_edges * (n + 1) <= _DENSE_ROUTE_ELEMS and n * n <= _DENSE_ROUTE_ELEMS:
         body_ids = jnp.arange(n + 1)
@@ -412,8 +423,16 @@ def step(state: SceneState, params: SimParams, hooks=None):
         def scatter_started(started_mask):
             wb1 = jnp.where(started_mask & (man.body1 >= 0), man.body1, sent)
             wb2 = jnp.where(started_mask & (man.body2 >= 0), man.body2, sent)
-            w1 = segment_any(started_mask, make_segment_plan(wb1, n + 1))[:n]
-            w2 = segment_any(started_mask, make_segment_plan(wb2, n + 1))[:n]
+            smask = started_mask
+            if 0 < cap_e < wb1.shape[0]:
+                from rapier_tpu.utils.compaction import compact_indices as _ci
+
+                ssrc, svalid, _sovf = _ci(started_mask, cap_e)
+                wb1 = jnp.where(svalid, jnp.take(wb1, ssrc), sent)
+                wb2 = jnp.where(svalid, jnp.take(wb2, ssrc), sent)
+                smask = svalid
+            w1 = segment_any(smask, make_segment_plan(wb1, n + 1))[:n]
+            w2 = segment_any(smask, make_segment_plan(wb2, n + 1))[:n]
             return w1 | w2
 
     sleeping = bodies.sleeping & dyn

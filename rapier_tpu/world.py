@@ -878,6 +878,17 @@ class PhysicsWorld:
             _round_up(max(8 * nc, 64), 128) + mesh_lanes
         )
 
+        # Large single scenes: default the solver-lane compaction cap to
+        # ~4 touching contacts per collider (pyramid/stack graphs peak near
+        # 4/body; overflow degrades gracefully and surfaces in
+        # StepEvents.solver_overflow).  The O(substeps x colors) sweep and
+        # the K-hop wake loop then work cap lanes instead of every
+        # broad-phase candidate lane.  Explicit SimParams win.
+        if self.params.max_solver_pairs == 0 and nc > 2048:
+            cap = _round_up(4 * nc, 128)
+            if cap < p_cap:
+                self.params = self.params.replace(max_solver_pairs=cap)
+
         import dataclasses as _dc
 
         _b0 = empty_bodies(n_cap)
