@@ -23,3 +23,31 @@ if "host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rapier_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# ---------------------------------------------------------------------------
+# Test tiers.  The full suite cold-compiles for ~35 min; these modules carry
+# the long-horizon scene simulations (hundreds of full steps each).  Marking
+# them `slow` gives CI a fast tier: `pytest -m "not slow"` finishes in a few
+# minutes cold and still covers every kernel, query, loader, and API surface
+# at the unit level.
+_SLOW_MODULES = {
+    "test_e2e_basic", "test_s2d", "test_debug_scenes", "test_stress_scenes",
+    "test_multibody", "test_joints", "test_ccd", "test_controllers",
+    "test_sharding", "test_mutation", "test_solver_compaction",
+    "test_2d_core", "test_convex_fallback", "test_convex_shapes",
+    "test_mesh", "test_nan_guard", "test_large_scene_routing",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-horizon scene simulations (full-step compiles)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
