@@ -26,7 +26,7 @@ TRIS_PER_CCD_PAIR = 8         # nearest-to-sweep triangles per mesh lane
 
 def _pair_distance(colliders, cA, cB, posA, rotA, posB, rotB):
     """Signed distance estimate between two colliders at given poses (cheap
-    sampled-SAT gap; mesh CCD TODO)."""
+    sampled-SAT gap; convex-vs-mesh CCD runs on dedicated mesh lanes below)."""
     from rapier_tpu.geometry import shapes as shp
     from rapier_tpu.geometry.narrowphase_convex import support_gap
     from rapier_tpu.types import ShapeType

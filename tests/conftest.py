@@ -25,11 +25,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # ---------------------------------------------------------------------------
-# Test tiers.  The full suite cold-compiles for ~35 min; these modules carry
-# the long-horizon scene simulations (hundreds of full steps each).  Marking
-# them `slow` gives CI a fast tier: `pytest -m "not slow"` finishes in a few
-# minutes cold and still covers every kernel, query, loader, and API surface
-# at the unit level.
+# Test tiers.  The full suite cold-compiles for well over an hour; these
+# modules carry the long-horizon scene simulations (hundreds of full steps
+# each).  Marking them `slow` gives CI a fast tier: `pytest -m "not slow"`
+# still covers every kernel, query, loader, and API surface at the unit
+# level.  Cold-cache the fast tier takes tens of minutes (step compiles
+# dominate); with a warm JAX_COMPILATION_CACHE_DIR (run
+# `python tools/warm_cache.py` once per machine) it drops to a few minutes.
 _SLOW_MODULES = {
     "test_e2e_basic", "test_s2d", "test_debug_scenes", "test_stress_scenes",
     "test_multibody", "test_joints", "test_ccd", "test_controllers",
@@ -49,5 +51,6 @@ def pytest_collection_modifyitems(config, items):
     import pytest
 
     for item in items:
-        if item.module.__name__ in _SLOW_MODULES:
+        mod = getattr(item, "module", None)
+        if mod is not None and mod.__name__ in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
