@@ -11,10 +11,12 @@ an exact sequential-impulse Gauss-Seidel iteration.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rapier_tpu.utils.routing import (
-    DENSE_ROUTE_ELEMS, make_segment_plan, segment_max,
+    DENSE_ROUTE_ELEMS, block_cumsum, make_segment_plan, segment_max,
 )
 
 
@@ -60,7 +62,7 @@ def color_constraints(b1, b2, dyn1, dyn2, valid, n_bodies: int, max_colors: int)
         oh1 = t1[:, None] == body_ids[None, :]   # [K, N+1] bool
         oh2 = t2[:, None] == body_ids[None, :]
 
-        for r in range(max_colors - 1):
+        def round_body(color, r):
             unc = valid & (color < 0)
             wm = jnp.where(unc, w, jnp.uint32(0))[:, None]
             bw = jnp.maximum(
@@ -70,13 +72,14 @@ def color_constraints(b1, b2, dyn1, dyn2, valid, n_bodies: int, max_colors: int)
             bw1 = jnp.max(jnp.where(oh1, bw, jnp.uint32(0)), axis=1)
             bw2 = jnp.max(jnp.where(oh2, bw, jnp.uint32(0)), axis=1)
             sel = unc & (~dyn1 | (bw1 == w)) & (~dyn2 | (bw2 == w))
-            color = jnp.where(sel, r, color)
+            return jnp.where(sel, r, color)
     else:
         # Large scenes: sorted segment plans replace the O(K*N) one-hots
         # (utils/routing.py) — identical selection rule, linear memory.
         plan1 = make_segment_plan(t1, n_bodies + 1)
         plan2 = make_segment_plan(t2, n_bodies + 1)
-        for r in range(max_colors - 1):
+
+        def round_body(color, r):
             unc = valid & (color < 0)
             wm = jnp.where(unc, w, jnp.uint32(0))
             bw_tab = jnp.maximum(
@@ -85,8 +88,107 @@ def color_constraints(b1, b2, dyn1, dyn2, valid, n_bodies: int, max_colors: int)
             )
             bw1, bw2 = bw_tab[t1], bw_tab[t2]
             sel = unc & (~dyn1 | (bw1 == w)) & (~dyn2 | (bw2 == w))
-            color = jnp.where(sel, r, color)
+            return jnp.where(sel, r, color)
+
+    # Early-exit round loop: identical selection sequence as the fixed
+    # unroll, but stops once every valid lane is colored (chromatic numbers
+    # are usually well below max_colors; the spare rounds were pure cost).
+    def cond(st):
+        color, r = st
+        return (r < max_colors - 1) & jnp.any(valid & (color < 0))
+
+    def body(st):
+        color, r = st
+        return round_body(color, r), r + jnp.int32(1)
+
+    color, _ = jax.lax.while_loop(cond, body, (color, jnp.int32(0)))
 
     color = jnp.where(valid & (color < 0), max_colors - 1, color)
     num_colors = jnp.max(jnp.where(valid, color, -1)) + 1
     return color.astype(jnp.int32), num_colors.astype(jnp.int32)
+
+
+def block_caps(total: int, max_colors: int, min_cap: int = 256):
+    """Static per-color lane-capacity schedule for the blocked large-scene
+    solver: front-loaded (Luby MIS rounds select geometrically shrinking
+    independent sets) and 128-aligned.  sum(caps) ~ 1.3 * total, which is the
+    per-sweep lane work of the blocked solve — within ~30% of the K-lane
+    lower bound (every lane solves once per sweep), vs num_colors * K for
+    the masked full-width sweep."""
+
+    def ru(x):
+        return max(min_cap, -(-x // 128) * 128)
+
+    sched = [2, 4, 4, 8, 8, 16, 16, 16]
+    caps = [ru(total // f) for f in sched[:max_colors]]
+    while len(caps) < max_colors:
+        caps.append(min_cap)
+    return tuple(caps)
+
+
+def color_constraints_blocked(b1, b2, dyn1, dyn2, valid, n_bodies: int,
+                              caps: tuple):
+    """Capped Luby coloring producing a contiguous blocked lane layout.
+
+    Round r keeps at most caps[r] of its selected independent set (by lane
+    order); unkept lanes stay uncolored for later rounds.  A subset of an
+    independent set is independent, so every color except the last is
+    conflict-free.  The LAST round takes every remaining lane (no
+    independence guarantee — the solver's segment-sum scatter degrades those
+    lanes to Jacobi accumulation, as the uncapped coloring already did for
+    its overflow color).  Lanes beyond the last cap are dropped (reported).
+
+    Returns:
+      color: [K] int32 block id per lane (len(caps) = uncolored/invalid).
+      slot: [K] int32 position in the blocked layout (W = sum(caps) =
+        dropped/invalid), slot = start[color] + rank-within-color.
+      dropped: scalar int32 — valid lanes that did not get a slot.
+    """
+    k = b1.shape[0]
+    n_colors = len(caps)
+    starts = np.cumsum((0,) + tuple(caps))[:-1]
+    w_total = int(np.sum(caps))
+
+    idx = jnp.arange(k, dtype=jnp.int32)
+    w = _hash32(idx)
+    sent = n_bodies
+    t1 = jnp.where(dyn1, b1, sent)
+    t2 = jnp.where(dyn2, b2, sent)
+
+    # Blocked coloring is the large-scene path: segment plans, not one-hots.
+    plan1 = make_segment_plan(t1, n_bodies + 1)
+    plan2 = make_segment_plan(t2, n_bodies + 1)
+
+    color = jnp.where(valid, -1, n_colors)
+    slot = jnp.full((k,), w_total, jnp.int32)
+
+    def round_r(color, slot, r):
+        unc = valid & (color < 0)
+        if r == n_colors - 1:
+            sel = unc          # Jacobi tail: everything left, capped below
+        else:
+            wm = jnp.where(unc, w, jnp.uint32(0))
+            bw_tab = jnp.maximum(
+                segment_max(wm, plan1, jnp.uint32(0)),
+                segment_max(wm, plan2, jnp.uint32(0)),
+            )
+            sel = unc & (~dyn1 | (bw_tab[t1] == w)) & (~dyn2 | (bw_tab[t2] == w))
+        rank = block_cumsum(sel.astype(jnp.int32)) - 1
+        keep = sel & (rank < caps[r])
+        color = jnp.where(keep, r, color)
+        slot = jnp.where(keep, starts[r] + rank, slot)
+        return color, slot
+
+    for r in range(n_colors):
+        if r < 2:
+            color, slot = round_r(color, slot, r)
+        else:
+            # Runtime-skip spare rounds once everything is colored.
+            color, slot = jax.lax.cond(
+                jnp.any(valid & (color < 0)),
+                lambda cs, _r=r: round_r(cs[0], cs[1], _r),
+                lambda cs: cs,
+                (color, slot),
+            )
+    dropped = jnp.sum((valid & (color < 0)).astype(jnp.int32))
+    return color.astype(jnp.int32), slot.astype(jnp.int32), dropped

@@ -91,10 +91,17 @@ class ContactConstraints(NamedTuple):
 class RoutePlan(NamedTuple):
     """Index-mode lane<->body routing for large scenes: replaces the [K, N]
     one-hot when it would exceed DENSE_ROUTE_ELEMS (utils/routing.py).
-    Gathers become takes; scatter-adds become sorted segment sums."""
+    Gathers become takes; scatter-adds become sorted segment sums.
+
+    seg_pair (optional, on the endpoint-1 plan only): a single plan over the
+    CONCATENATED endpoints [idx1; idx2] — when present, solve_color/warmstart
+    fuse their four per-pass scatters (v_lin/v_ang x two endpoints) into ONE
+    [6, 2K] segment sum, quartering the boundary-gather traffic."""
 
     idx: jax.Array               # [K] int32 target column per lane
-    seg: "routing.SegmentPlan"   # sorted-order plan over idx
+    seg: "routing.SegmentPlan"   # sorted-order plan over idx (may be None
+                                 # when seg_pair carries the scatters)
+    seg_pair: "routing.SegmentPlan" = None
 
 
 def _onehot(idx, n):
@@ -451,6 +458,14 @@ def warmstart(c: ContactConstraints, sb: SolverBodies, oh1, oh2) -> SolverBodies
     dw1 = dw1 + c.twist_ii_dir1 * wi[None]
     dw2 = dw2 + c.twist_ii_dir2 * wi[None]
 
+    if isinstance(oh1, RoutePlan) and oh1.seg_pair is not None:
+        vals = jnp.concatenate([
+            jnp.concatenate([dv1, dw1], axis=0),
+            jnp.concatenate([dv2, dw2], axis=0),
+        ], axis=-1)                                    # [6, 2P]
+        upd = routing.segment_sum(vals, oh1.seg_pair)  # [6, N+1]
+        return sb._replace(v_lin=sb.v_lin + upd[0:3],
+                           v_ang=sb.v_ang + upd[3:6])
     v_lin = _scatter_add_cl(_scatter_add_cl(sb.v_lin, oh1, dv1), oh2, dv2)
     v_ang = _scatter_add_cl(_scatter_add_cl(sb.v_ang, oh1, dw1), oh2, dw2)
     return sb._replace(v_lin=v_lin, v_ang=v_ang)
@@ -639,10 +654,21 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
 
     # Matmul scatter of velocity deltas (conflict-free within a color).
     m = fmask[None]
-    v_lin = _scatter_add_cl(
-        _scatter_add_cl(sb.v_lin, oh1, (v1 - v1_0) * m), oh2, (v2 - v2_0) * m)
-    v_ang = _scatter_add_cl(
-        _scatter_add_cl(sb.v_ang, oh1, (w1 - w1_0) * m), oh2, (w2 - w2_0) * m)
+    if isinstance(oh1, RoutePlan) and oh1.seg_pair is not None:
+        vals = jnp.concatenate([
+            jnp.concatenate([(v1 - v1_0) * m, (w1 - w1_0) * m], axis=0),
+            jnp.concatenate([(v2 - v2_0) * m, (w2 - w2_0) * m], axis=0),
+        ], axis=-1)                                    # [6, 2P]
+        upd = routing.segment_sum(vals, oh1.seg_pair)  # [6, N+1]
+        v_lin = sb.v_lin + upd[0:3]
+        v_ang = sb.v_ang + upd[3:6]
+    else:
+        v_lin = _scatter_add_cl(
+            _scatter_add_cl(sb.v_lin, oh1, (v1 - v1_0) * m),
+            oh2, (v2 - v2_0) * m)
+        v_ang = _scatter_add_cl(
+            _scatter_add_cl(sb.v_ang, oh1, (w1 - w1_0) * m),
+            oh2, (w2 - w2_0) * m)
 
     c = c._replace(
         impulse=jnp.where(mask[None], impulses, c.impulse),

@@ -142,46 +142,82 @@ def find_pairs_sap(mins, maxs, colliders, body_type, max_pairs: int, window: int
     against the next `window` colliders in sorted order.  Colliders whose
     x-interval extends past the window contribute to `overflow` (missed-pair
     risk indicator) so callers can bump `window`.
+
+    Gather-free inner loop: every per-collider field is gathered into sorted
+    order ONCE ([c]-sized gathers); the window candidates (i, i+k) then come
+    from k-shifted static slices of the sorted arrays — no [c*window]-sized
+    computed gathers (those measured ~40 ms/step on a 4.9k-collider pyramid,
+    the entire round-3 broad-phase cost).
     """
     c = mins.shape[0]
     centers = 0.5 * (mins + maxs)
     var = jnp.var(jnp.where(colliders.enabled[:, None], centers, 0.0), axis=0)
     axis = jnp.argmax(var)
+    axis_oh = (jnp.arange(3) == axis).astype(mins.dtype)       # [3]
 
-    key = jnp.where(colliders.enabled, mins[jnp.arange(c), axis], jnp.inf)
-    order = jnp.argsort(key)
+    key = jnp.where(colliders.enabled, jnp.sum(mins * axis_oh, -1), jnp.inf)
+    order = jnp.argsort(key).astype(jnp.int32)
 
+    # Sorted-order per-collider fields (one [c]-sized gather each).
     s_min = mins[order]
     s_max = maxs[order]
     s_key = key[order]
+    en_s = colliders.enabled[order]
+    par_s = colliders.parent[order]
+    bt_s = jnp.where(
+        par_s >= 0, body_type[jnp.maximum(par_s, 0)], int(BodyType.FIXED)
+    )
+    act_s = colliders.active_collision_types[order]
+    g_s = colliders.collision_groups[order]
+    m_s, f_s = g_s >> 16, g_s & 0xFFFF
+    smax_axis = jnp.sum(s_max * axis_oh, -1)                    # [c]
 
-    # Candidate (i, i+k) for k in 1..window.
-    base = jnp.arange(c)
-    offs = jnp.arange(1, window + 1)
-    i_idx = jnp.repeat(base, window)                    # [c*window]
-    j_idx = (base[:, None] + offs[None, :]).reshape(-1)  # [c*window]
-    in_range = j_idx < c
-    j_clamped = jnp.minimum(j_idx, c - 1)
+    def win(arr, fill):
+        """[c, ...] -> [c, window, ...]: out[i, k] = arr[i + k + 1]."""
+        pad = jnp.full((window,) + arr.shape[1:], fill, arr.dtype)
+        ext = jnp.concatenate([arr, pad], axis=0)
+        return jnp.stack([ext[k + 1:k + 1 + c] for k in range(window)], axis=1)
 
-    # Interval overlap along sweep axis + full AABB overlap.
-    max_i_axis = s_max[jnp.arange(c), axis]
-    sweep_ok = s_key[j_clamped] <= max_i_axis[i_idx]
+    # Interval overlap along the sweep axis + full AABB overlap, [c, window].
+    sweep_ok = win(s_key, jnp.inf) <= smax_axis[:, None]
+    j_min = win(s_min, jnp.inf)                                 # [c, W, 3]
+    j_max = win(s_max, -jnp.inf)
     aabb_ok = jnp.all(
-        (s_min[i_idx] <= s_max[j_clamped]) & (s_min[j_clamped] <= s_max[i_idx]),
-        axis=-1,
+        (s_min[:, None, :] <= j_max) & (j_min <= s_max[:, None, :]), axis=-1
     )
 
-    c1 = order[i_idx]
-    c2 = order[j_clamped]
-    lo = jnp.minimum(c1, c2)
-    hi = jnp.maximum(c1, c2)
-    mask = in_range & sweep_ok & aabb_ok & _pair_filter_mask(lo, hi, colliders, body_type)
+    # Pair filters (reference narrow_phase.rs:834-932 hoisted), elementwise
+    # over the [c, window] candidate grid.
+    en_ok = en_s[:, None] & win(en_s, False)
+    par_j = win(par_s, jnp.int32(-1))
+    same_parent = (par_s[:, None] == par_j) & (par_s[:, None] >= 0)
+    ti = bt_s[:, None]
+    tj = win(bt_s, jnp.int32(BodyType.FIXED))
 
-    out1, out2, valid, overflow = _compact_pairs(lo, hi, mask, max_pairs)
+    def _act(a):
+        return ((((a >> (ti * 4)) & 15) & (1 << tj)) != 0) | (
+            (((a >> (tj * 4)) & 15) & (1 << ti)) != 0
+        )
+
+    type_ok = _act(act_s[:, None]) | _act(win(act_s, jnp.int32(0)))
+    groups_ok = ((m_s[:, None] & win(f_s, jnp.int32(0))) != 0) & (
+        (win(m_s, jnp.int32(0)) & f_s[:, None]) != 0
+    )
+
+    mask = (sweep_ok & aabb_ok & en_ok & ~same_parent & type_ok & groups_ok)
+
+    c1_grid = jnp.broadcast_to(order[:, None], (c, window))
+    c2_grid = win(order, jnp.int32(0))
+    lo = jnp.minimum(c1_grid, c2_grid).reshape(-1)
+    hi = jnp.maximum(c1_grid, c2_grid).reshape(-1)
+    out1, out2, valid, overflow = _compact_pairs(
+        lo, hi, mask.reshape(-1), max_pairs
+    )
 
     # Window-miss detection: i's interval still open at i+window.
+    base = jnp.arange(c)
     far = jnp.minimum(base + window, c - 1)
-    missed = (base + window < c) & (s_key[far] <= max_i_axis)
+    missed = (base + window < c) & (s_key[far] <= smax_axis)
     overflow = overflow + jnp.sum(missed.astype(jnp.int32))
     return out1, out2, valid, overflow
 

@@ -144,7 +144,11 @@ def _bucket_cap(ta, tb, counts, p):
     if est >= (1 << 28):
         return p
     cap = -(-est * _BUCKET_PAIR_FACTOR // 64) * 64
-    return min(cap, p)
+    # Bucketing pays for itself only when the bucket is substantially
+    # narrower than the full buffer: the route/scatter one-hot matmuls are
+    # O(cap * p) (a near-full bucket on a 39k-lane pyramid costs ~17 ms/step
+    # and a 6 GB one-hot — round-4 trace).
+    return cap if cap * 2 <= p else p
 
 
 def _bucket_route(mask, cap: int):
@@ -419,6 +423,8 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
             ]
             est = sum(_counts.get(t, 0) for t in generic)
             cap_cc = min(P, max(64, -(-est * _BUCKET_PAIR_FACTOR // 64) * 64))
+            if cap_cc * 2 > P:   # near-full bucket: routing costs > savings
+                cap_cc = P
         if cap_cc < P:
             ohcc, ccvalid, cc_drop = _bucket_route(cc_mask, cap_cc)
             bucket_dropped = bucket_dropped + cc_drop

@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rapier_tpu.math import quat
 from rapier_tpu.geometry import broadphase, shapes
@@ -91,9 +92,11 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
     pn, po = new_keys.shape[0], old_keys.shape[0]
 
     if pn * po > _DENSE_JOIN_ELEMS:
+        from rapier_tpu.utils.routing import searchsorted_blocked
+
         order = jnp.argsort(old_keys)
         sk = old_keys[order]
-        pos = jnp.clip(jnp.searchsorted(sk, new_keys), 0, po - 1)
+        pos = jnp.clip(searchsorted_blocked(sk, new_keys), 0, po - 1)
         src = order[pos]
         hit = sk[pos] == new_keys                            # [Pn]
         matched = hit & man.valid
@@ -103,7 +106,7 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
             return jnp.where(hit, arr.astype(jnp.float32)[..., src], 0.0)
 
         tkeys = jnp.sort(jnp.where(man.valid & man.touching, man.pair_key, -3))
-        tpos = jnp.clip(jnp.searchsorted(tkeys, old_keys), 0, pn - 1)
+        tpos = jnp.clip(searchsorted_blocked(tkeys, old_keys), 0, pn - 1)
         still = tkeys[tpos] == old_keys                      # [Po]
     else:
         eq = new_keys[:, None] == old_keys[None, :]          # [Pn, Po] bool
@@ -435,14 +438,35 @@ def step(state: SceneState, params: SimParams, hooks=None):
             w2 = segment_any(smask, make_segment_plan(wb2, n + 1))[:n]
             return w1 | w2
 
+    def _propagate_fixed_point(flag, step_fn, max_iters):
+        """Iterate flag -> step_fn(flag) until unchanged (early exit) or
+        max_iters hops — identical fixed point as the unrolled K-hop loop,
+        but settled scenes converge in 1-2 hops instead of paying all K
+        (the 16-hop unroll was ~13 ms/step on the 4.9k-body pyramid)."""
+
+        def cond(st):
+            _, changed, i = st
+            return changed & (i < max_iters)
+
+        def body(st):
+            f, _, i = st
+            nf = step_fn(f)
+            return nf, jnp.any(nf != f), i + jnp.int32(1)
+
+        out, _, _ = jax.lax.while_loop(
+            cond, body, (flag, jnp.bool_(True), jnp.int32(0))
+        )
+        return out
+
     sleeping = bodies.sleeping & dyn
     if params.sleeping_enabled:
         woke = scatter_started(started)
         awake = (dyn & ~sleeping) | (woke & dyn)
         # Spread wakefulness across dynamic-dynamic edges (one hop per pass).
-        awake_p = awake
-        for _ in range(params.sleep_propagation_iters):
-            awake_p = awake_p | (neighbor_or(awake_p) & dyn)
+        awake_p = _propagate_fixed_point(
+            awake, lambda f: f | (neighbor_or(f) & dyn),
+            params.sleep_propagation_iters,
+        )
         sleeping = dyn & ~awake_p
     bodies = bodies.replace(sleeping=sleeping)
 
@@ -598,6 +622,122 @@ def step(state: SceneState, params: SimParams, hooks=None):
             twist_impulse=imp[12], twist_impulse_acc=imp[13],
             point_mask=man.point_active,
         )
+    elif (
+        (not coulomb) and joints is None
+        and p_lanes * (n + 1) > _DENSE_ROUTE_ELEMS
+    ):
+        # ------------------------------------------------------------------
+        # Large-scene BLOCKED solve: capped Luby coloring lays the touching
+        # lanes out in contiguous per-color blocks (coloring.py
+        # color_constraints_blocked); each Gauss-Seidel pass then runs one
+        # static block (sum(caps) ~ 1.3 K lanes/sweep) instead of all K
+        # lanes masked per color (num_colors * K).  This replaces the
+        # compact_jax + masked-sweep path above the dense-routing limit.
+        # ------------------------------------------------------------------
+        from rapier_tpu.dynamics.solver.coloring import (
+            block_caps, color_constraints_blocked,
+        )
+
+        base = cap if 0 < cap < p_lanes else p_lanes
+        caps = block_caps(base, params.max_colors)
+        starts = [0]
+        for w_c in caps:
+            starts.append(starts[-1] + w_c)
+        w_total = starts[-1]
+
+        color_l, slot, solver_overflow = color_constraints_blocked(
+            man.body1, man.body2, dyn1, dyn2, solver_pair, n, caps
+        )
+        # Blocked routing: slot -> original lane (unique targets; invalid
+        # lanes collide on the cut-off sentinel slot).
+        lane_ids = jnp.arange(p_lanes, dtype=jnp.int32)
+        tgt = jnp.minimum(slot, w_total)
+        blk_src = (
+            jnp.full((w_total + 1,), p_lanes, jnp.int32)
+            .at[tgt].set(lane_ids)[:w_total]
+        )
+        slot_valid = blk_src < p_lanes
+        srcc = jnp.minimum(blk_src, p_lanes - 1)
+
+        def rt(x, neutral=0.0):
+            v = jnp.take(x, srcc, axis=-1)
+            g = slot_valid.reshape((1,) * (v.ndim - 1) + (w_total,))
+            return jnp.where(g, v, jnp.asarray(neutral, v.dtype))
+
+        sent = n
+        bb1 = rt(man.body1, -1)
+        bb2 = rt(man.body2, -1)
+        rdom = rt(man.rel_dominance, 0)
+        b1s = jnp.where((bb1 >= 0) & (rdom <= 0), bb1, sent)
+        b2s = jnp.where((bb2 >= 0) & (rdom >= 0), bb2, sent)
+        valid_b = rt(man.solver_pair, False)
+        pact_b = rt(man.point_active, False)
+        ws_n_b, ws_t_b, ws_tw_b = rt(ws_n), rt(ws_t), rt(ws_tw)
+
+        # Routing plans, all built once per step: gathers only need the
+        # target indices; every scatter goes through ONE fused-pair plan
+        # (endpoints concatenated — see RoutePlan.seg_pair) per scope:
+        # full width for warmstart, per block for the color passes.
+        oh1 = cc.RoutePlan(
+            b1s, None,
+            make_segment_plan(jnp.concatenate([b1s, b2s]), n + 1),
+        )
+        oh2 = cc.RoutePlan(b2s, None)
+        blocks = []
+        for ci, w_c in enumerate(caps):
+            s0 = starts[ci]
+            b1c = b1s[s0:s0 + w_c]
+            b2c = b2s[s0:s0 + w_c]
+            blocks.append((
+                ci, s0, w_c,
+                cc.RoutePlan(
+                    b1c, None,
+                    make_segment_plan(jnp.concatenate([b1c, b2c]), n + 1),
+                ),
+                cc.RoutePlan(b2c, None),
+            ))
+        color_of_slot = jnp.asarray(
+            np.repeat(np.arange(len(caps), dtype=np.int32), caps)
+        )
+
+        constraints = cc.generate_from(
+            b1s, b2s, valid_b, color_of_slot,
+            rt(man.normal), rt(man.point), pact_b,
+            rt(man.dist, 1e10), rt(man.friction), rt(man.restitution),
+            sb, rt(prev_imp), n, oh1=oh1, oh2=oh2,
+        )
+        constraints = constraints._replace(
+            impulse=ws_n_b * constraints.point_mask,
+            tan_impulse=ws_t_b,
+            twist_impulse=ws_tw_b,
+        )
+
+        sb, cons_b = vs.solve_blocked(
+            bodies, sb, constraints, blocks, oh1, oh2, active, params
+        )
+
+        # Route impulses back to the full pair lanes for the contact cache;
+        # lanes the solve never saw keep their matched warmstart values.
+        has_slot = slot < w_total
+        slot_c = jnp.minimum(slot, w_total - 1)
+
+        def expand(xw, default):
+            v = jnp.take(xw, slot_c, axis=-1)
+            g = has_slot.reshape((1,) * (v.ndim - 1) + (p_lanes,))
+            return jnp.where(g, v, default)
+
+        z4 = jnp.zeros((4, p_lanes))
+        constraints = _SolvedImpulses(
+            impulse=expand(cons_b.impulse, ws_n * man.point_active),
+            impulse_acc=expand(cons_b.impulse_acc, z4),
+            tan_impulse=expand(cons_b.tan_impulse, ws_t),
+            tan_impulse_acc=expand(cons_b.tan_impulse_acc,
+                                   jnp.zeros((2, p_lanes))),
+            twist_impulse=expand(cons_b.twist_impulse, ws_tw),
+            twist_impulse_acc=expand(cons_b.twist_impulse_acc,
+                                     jnp.zeros((p_lanes,))),
+            point_mask=man.point_active,
+        )
     else:
         # Solver-lane compaction on the pure-JAX path: generate + the
         # O(substeps x colors) sweep work K = max_solver_pairs lanes instead
@@ -740,8 +880,10 @@ def step(state: SceneState, params: SimParams, hooks=None):
         # (divergence documented: components wider than K hops sleep later).
         # min over neighbors == "no ineligible neighbor" via the adjacency.
         elig_ext = eligible | ~dyn  # non-dynamic neighbors don't block sleep
-        for _ in range(params.sleep_propagation_iters):
-            elig_ext = elig_ext & ~neighbor_or(~elig_ext)
+        elig_ext = _propagate_fixed_point(
+            elig_ext, lambda f: f & ~neighbor_or(~f),
+            params.sleep_propagation_iters,
+        )
         new_sleeping = dyn & eligible & elig_ext
         bodies = bodies.replace(
             sleeping=new_sleeping,
