@@ -44,7 +44,23 @@ def main():
     )
     from rapier_tpu.types import BroadPhaseKind
 
-    if mode == "pyramid":
+    if mode == "robots":
+        # Batched articulated-robot rollout (BASELINE.json config #5;
+        # reference examples3d/mujoco_menagerie3.rs): vmapped 8-dof
+        # quadrupeds standing on four feet with PD servos — the jointed /
+        # multibody path the contacts-only modes never exercise.
+        from rapier_tpu.scenes import quadruped_world
+
+        n_scenes = int(os.environ.get("BENCH_SCENES", "512"))
+        world, _robot = quadruped_world(use_multibody=True)
+        state0 = world.build()
+        batch = jax.device_put(
+            jax.tree.map(jnp.asarray, replicate_scene(state0, n_scenes)),
+            jax.devices()[0],
+        )
+        label = (f"env-steps/sec, {n_scenes} vmapped quadruped scenes "
+                 f"(8-dof articulation, 4 foot contacts, PD servos)")
+    elif mode == "pyramid":
         # Single-scene box-pyramid stress (BASELINE.json metric #1; reference
         # examples3d/stress_tests/pyramid3.rs, stack 24 = 4900 boxes).
         stack = int(os.environ.get("BENCH_STACK", "16"))

@@ -49,7 +49,7 @@ def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
                desired_translation,
                options: CharacterControllerOptions = CharacterControllerOptions(),
                exclude_collider: int = -1, exclude_body: int = -1,
-               flags: int = 0) -> CharacterMovement:
+               flags: int = 0, meshes=None, hulls=None) -> CharacterMovement:
     """Compute the achievable movement for a kinematic character shape."""
     up = jnp.asarray(options.up)
     desired = jnp.asarray(desired_translation, jnp.float32)
@@ -58,14 +58,18 @@ def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
     remaining = desired
     any_hit = jnp.zeros((), bool)
 
-    for _ in range(options.max_iterations):
+    # One traced body shared across max_iterations (the round-4 exact-GJK
+    # casts make each traced cast site expensive to compile; the unrolled
+    # loop multiplied it by max_iterations).
+    def iteration(_i, carry):
+        total, remaining, any_hit = carry
         dist = jnp.linalg.norm(remaining)
         unit = remaining / jnp.maximum(dist, 1e-9)
         hit = queries.cast_shape(
             bodies, colliders, shape_type, shape_params,
             pos + total, rot, unit, dist + options.offset,
             flags=flags, exclude_collider=exclude_collider,
-            exclude_body=exclude_body,
+            exclude_body=exclude_body, meshes=meshes, hulls=hulls,
         )
         active = dist > 1e-7
         blocked = hit.hit & active
@@ -101,7 +105,7 @@ def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
                 bodies, colliders, shape_type, shape_params, pos + total, rot,
                 up, options.autostep_max_height,
                 flags=flags, exclude_collider=exclude_collider,
-                exclude_body=exclude_body,
+                exclude_body=exclude_body, meshes=meshes, hulls=hulls,
             )
             lift = jnp.where(
                 up_hit.hit,
@@ -113,7 +117,7 @@ def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
                 bodies, colliders, shape_type, shape_params, lifted, rot,
                 h_unit, options.autostep_min_width + options.offset,
                 flags=flags, exclude_collider=exclude_collider,
-                exclude_body=exclude_body,
+                exclude_body=exclude_body, meshes=meshes, hulls=hulls,
             )
             fwd_clear = ~fwd_hit.hit | (
                 fwd_hit.toi >= options.autostep_min_width
@@ -123,7 +127,7 @@ def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
                 bodies, colliders, shape_type, shape_params, advanced, rot,
                 -up, lift + options.offset,
                 flags=flags, exclude_collider=exclude_collider,
-                exclude_body=exclude_body,
+                exclude_body=exclude_body, meshes=meshes, hulls=hulls,
             )
             land_angle = jnp.arccos(
                 jnp.clip(jnp.dot(down_hit.normal, up), -1.0, 1.0)
@@ -142,13 +146,18 @@ def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
                 options.autostep_min_width, h_dist
             )
             remaining = jnp.where(do_step, rem_after, remaining)
+        return total, remaining, any_hit
+
+    total, remaining, any_hit = jax.lax.fori_loop(
+        0, options.max_iterations, iteration, (total, remaining, any_hit)
+    )
 
     # Grounded test + snap-to-ground: short downward cast.
     down_hit = queries.cast_shape(
         bodies, colliders, shape_type, shape_params, pos + total, rot,
         -up, options.offset * 3.0 + options.snap_to_ground,
         flags=flags, exclude_collider=exclude_collider,
-        exclude_body=exclude_body,
+        exclude_body=exclude_body, meshes=meshes, hulls=hulls,
     )
     floor_angle = jnp.arccos(jnp.clip(jnp.dot(down_hit.normal, up), -1.0, 1.0))
     grounded = down_hit.hit & (down_hit.toi <= options.offset * 3.0) & (

@@ -73,7 +73,8 @@ class VehicleUpdate(NamedTuple):
 
 def update_vehicle(bodies, colliders, chassis: int, wheels: WheelDesc,
                    engine_force, brake, steering, dt,
-                   forward_axis: int = 2, up_axis: int = 1) -> VehicleUpdate:
+                   forward_axis: int = 2, up_axis: int = 1,
+                   meshes=None, hulls=None) -> VehicleUpdate:
     """One vehicle control update; returns new chassis velocities.
 
     Mirrors update_vehicle (ray_cast_vehicle_controller.rs:408-486): suspension
@@ -108,7 +109,7 @@ def update_vehicle(bodies, colliders, chassis: int, wheels: WheelDesc,
         maxlen = wheels.suspension_rest_length[k] + wheels.radius[k]
         hit = queries.cast_ray(
             bodies, colliders, hard_pt[k], dir_w[k], max_toi=maxlen,
-            exclude_body=chassis,
+            exclude_body=chassis, meshes=meshes, hulls=hulls,
         )
         return hit.hit, hit.toi, hit.normal, hit.collider
 

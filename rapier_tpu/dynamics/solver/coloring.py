@@ -156,8 +156,10 @@ def color_constraints_blocked(b1, b2, dyn1, dyn2, valid, n_bodies: int,
     t2 = jnp.where(dyn2, b2, sent)
 
     # Blocked coloring is the large-scene path: segment plans, not one-hots.
-    plan1 = make_segment_plan(t1, n_bodies + 1)
-    plan2 = make_segment_plan(t2, n_bodies + 1)
+    # ONE plan over the concatenated endpoints: each round's per-body max is
+    # a single segmented scan over [t1; t2] instead of two (the scans are
+    # the round cost at 39k lanes).
+    plan_pair = make_segment_plan(jnp.concatenate([t1, t2]), n_bodies + 1)
 
     color = jnp.where(valid, -1, n_colors)
     slot = jnp.full((k,), w_total, jnp.int32)
@@ -168,9 +170,8 @@ def color_constraints_blocked(b1, b2, dyn1, dyn2, valid, n_bodies: int,
             sel = unc          # Jacobi tail: everything left, capped below
         else:
             wm = jnp.where(unc, w, jnp.uint32(0))
-            bw_tab = jnp.maximum(
-                segment_max(wm, plan1, jnp.uint32(0)),
-                segment_max(wm, plan2, jnp.uint32(0)),
+            bw_tab = segment_max(
+                jnp.concatenate([wm, wm]), plan_pair, jnp.uint32(0)
             )
             sel = unc & (~dyn1 | (bw_tab[t1] == w)) & (~dyn2 | (bw_tab[t2] == w))
         rank = block_cumsum(sel.astype(jnp.int32)) - 1

@@ -102,6 +102,12 @@ class RoutePlan(NamedTuple):
     seg: "routing.SegmentPlan"   # sorted-order plan over idx (may be None
                                  # when seg_pair carries the scatters)
     seg_pair: "routing.SegmentPlan" = None
+    # Inverse pair routing [N+1] (conflict-free blocks only): each body is
+    # touched by AT MOST one lane-endpoint within a color, so the scatter is
+    # one gather of the concatenated-delta columns — no segment sum needed.
+    # Built from seg_pair: inv[b] = perm[starts[b]] where the segment is
+    # non-empty, else a zero-padded sentinel column.
+    inv_pair: jax.Array = None
 
 
 def _onehot(idx, n):
@@ -654,7 +660,19 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
 
     # Matmul scatter of velocity deltas (conflict-free within a color).
     m = fmask[None]
-    if isinstance(oh1, RoutePlan) and oh1.seg_pair is not None:
+    if isinstance(oh1, RoutePlan) and oh1.inv_pair is not None:
+        # Conflict-free block: every body receives from at most one
+        # lane-endpoint, so the whole scatter is ONE [6, N+1] gather of the
+        # padded concatenated deltas (sentinel column 2P is zero).
+        vals = jnp.concatenate([
+            jnp.concatenate([(v1 - v1_0) * m, (w1 - w1_0) * m], axis=0),
+            jnp.concatenate([(v2 - v2_0) * m, (w2 - w2_0) * m], axis=0),
+            jnp.zeros((6, 1)),
+        ], axis=-1)                                    # [6, 2P+1]
+        upd = jnp.take(vals, oh1.inv_pair, axis=-1)    # [6, N+1]
+        v_lin = sb.v_lin + upd[0:3]
+        v_ang = sb.v_ang + upd[3:6]
+    elif isinstance(oh1, RoutePlan) and oh1.seg_pair is not None:
         vals = jnp.concatenate([
             jnp.concatenate([(v1 - v1_0) * m, (w1 - w1_0) * m], axis=0),
             jnp.concatenate([(v2 - v2_0) * m, (w2 - w2_0) * m], axis=0),

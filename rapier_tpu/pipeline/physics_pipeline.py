@@ -688,14 +688,32 @@ def step(state: SceneState, params: SimParams, hooks=None):
             s0 = starts[ci]
             b1c = b1s[s0:s0 + w_c]
             b2c = b2s[s0:s0 + w_c]
-            blocks.append((
-                ci, s0, w_c,
-                cc.RoutePlan(
-                    b1c, None,
-                    make_segment_plan(jnp.concatenate([b1c, b2c]), n + 1),
-                ),
-                cc.RoutePlan(b2c, None),
-            ))
+            segp = make_segment_plan(jnp.concatenate([b1c, b2c]), n + 1)
+            if ci < len(caps) - 1:
+                # Conflict-free block: each body is touched by at most one
+                # lane-endpoint, so the pass scatter is a single inverse
+                # gather (RoutePlan.inv_pair).  Bodies outside the block hit
+                # the zero-padded sentinel column 2*w_c.
+                has = segp.ends > segp.starts
+                inv = jnp.where(
+                    has,
+                    jnp.take(segp.perm,
+                             jnp.minimum(segp.starts, 2 * w_c - 1)),
+                    2 * w_c,
+                )
+                blocks.append((
+                    ci, s0, w_c,
+                    cc.RoutePlan(b1c, None, None, inv),
+                    cc.RoutePlan(b2c, None),
+                ))
+            else:
+                # Jacobi tail (no independence guarantee): segment-sum
+                # accumulation, same degradation rule as the masked path.
+                blocks.append((
+                    ci, s0, w_c,
+                    cc.RoutePlan(b1c, None, segp),
+                    cc.RoutePlan(b2c, None),
+                ))
         color_of_slot = jnp.asarray(
             np.repeat(np.arange(len(caps), dtype=np.int32), caps)
         )

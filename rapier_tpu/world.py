@@ -1746,7 +1746,8 @@ class PhysicsWorld:
         return queries.cast_ray(
             self.state.bodies, self.state.colliders,
             jnp.asarray(origin, jnp.float32), jnp.asarray(direction, jnp.float32),
-            max_toi=max_toi, **kw,
+            max_toi=max_toi, meshes=self.state.meshes, hulls=self.state.hulls,
+            **kw,
         )
 
     def project_point(self, point, solid: bool = True, **kw):
@@ -1754,7 +1755,8 @@ class PhysicsWorld:
 
         return queries.project_point(
             self.state.bodies, self.state.colliders,
-            jnp.asarray(point, jnp.float32), solid=solid, **kw,
+            jnp.asarray(point, jnp.float32), solid=solid,
+            meshes=self.state.meshes, hulls=self.state.hulls, **kw,
         )
 
     def intersections_with_point(self, point, **kw):
@@ -1762,7 +1764,7 @@ class PhysicsWorld:
 
         return queries.intersections_with_point(
             self.state.bodies, self.state.colliders,
-            jnp.asarray(point, jnp.float32), **kw,
+            jnp.asarray(point, jnp.float32), hulls=self.state.hulls, **kw,
         )
 
     def cast_shape(self, shape_type, shape_params, pos, rot, direction,
@@ -1773,7 +1775,8 @@ class PhysicsWorld:
             self.state.bodies, self.state.colliders,
             int(shape_type), jnp.asarray(_pad_params(shape_params)),
             jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
-            jnp.asarray(direction, jnp.float32), max_toi, **kw,
+            jnp.asarray(direction, jnp.float32), max_toi,
+            meshes=self.state.meshes, hulls=self.state.hulls, **kw,
         )
 
     def intersections_with_shape(self, shape_type, shape_params, pos, rot,
@@ -1786,7 +1789,7 @@ class PhysicsWorld:
             self.state.bodies, self.state.colliders,
             int(shape_type), jnp.asarray(_pad_params(shape_params)),
             jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
-            **kw,
+            meshes=self.state.meshes, hulls=self.state.hulls, **kw,
         )
         return np.nonzero(np.asarray(mask))[0]
 
@@ -1813,7 +1816,7 @@ class PhysicsWorld:
             int(shape_type), jnp.asarray(_pad_params(shape_params)),
             jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
             jnp.asarray(linvel, jnp.float32), jnp.asarray(angvel, jnp.float32),
-            max_toi, **kw,
+            max_toi, meshes=self.state.meshes, hulls=self.state.hulls, **kw,
         )
 
     # ------------------------------------------------------------------
