@@ -220,10 +220,24 @@ def test_ray_hits_heightfield(zoo):
 
 
 def test_project_point_cylinder_cone_mesh(zoo):
-    pp = zoo.project_point((10.0, 1.0, 2.0))
+    # Next to the cylinder's side: collider 0 wins over the heightfield
+    # 1.0 below.
+    pp = zoo.project_point((10.0, 1.0, 0.9))
     assert int(pp.collider) == 0
     np.testing.assert_allclose(np.asarray(pp.point), [10, 1, 0.5], atol=1e-4)
-    assert abs(float(pp.distance) - 1.5) < 1e-4
+    assert abs(float(pp.distance) - 0.4) < 1e-4
+    # Above the cone's apex (y=2): the apex at distance 0.5 wins.
+    pc = zoo.project_point((15.0, 2.5, 0.0))
+    assert int(pc.collider) == 1
+    np.testing.assert_allclose(np.asarray(pc.point), [15, 2, 0], atol=1e-3)
+    # 2.0 out from the cylinder axis the flat heightfield (1.0 below) is the
+    # true closest collider (the round-4 expectation of collider 0 at
+    # distance 1.5 contradicted the scene geometry: the 40x40 heightfield
+    # spans x in [-20, 20]).
+    pf = zoo.project_point((10.0, 1.0, 2.0))
+    assert int(pf.collider) == 3
+    np.testing.assert_allclose(np.asarray(pf.point), [10, 0, 2], atol=1e-3)
+    assert abs(float(pf.distance) - 1.0) < 1e-3
     # Point above the flat heightfield projects straight down onto it.
     pm = zoo.project_point((5.0, 0.75, 5.0))
     assert int(pm.collider) == 3
