@@ -83,13 +83,18 @@ def main():
         label = (f"steps/sec, {stack}-stack pyramid "
                  f"({state0.bodies.n - 1} boxes, single scene)")
     else:
-        # ~100 bodies: 4 layers x 5x5 grid + ground.
-        world = mixed_primitives_world(num_layers=4, grid=5, max_pairs=512)
+        # ~100 bodies: 4 layers x 5x5 grid + ground.  max_pairs=512: the
+        # measured settle-phase candidate peak is 329; 384 would fit but
+        # disables the census box-box bucket (cap*2 <= P) and nets slower.
+        world = mixed_primitives_world(
+            num_layers=4, grid=5,
+            max_pairs=int(os.environ.get("BENCH_MAX_PAIRS", "512")))
         # Solver-lane compaction: the scene peaks at ~182 touching pairs
         # (1.4x headroom); overflow would surface in StepEvents and is
         # asserted zero by tests/test_solver_compaction.py on this scene.
         world.params = world.params.replace(
-            max_solver_pairs=int(os.environ.get("BENCH_SOLVER_PAIRS", "256"))
+            max_solver_pairs=int(os.environ.get("BENCH_SOLVER_PAIRS", "256")),
+            solver_backend=os.environ.get("BENCH_BACKEND", "auto"),
         )
         state0 = world.build()      # numpy leaves: no device transfers yet
         batch = jax.device_put(
@@ -114,6 +119,15 @@ def main():
     def checksum(state):
         return jnp.sum(state.bodies.pos) + jnp.sum(jnp.abs(state.bodies.linvel))
 
+    @jax.jit
+    def max_overflow(state):
+        # One extra step whose events certify the bench config is honest:
+        # a solver/broad-phase overflow would mean dropped contacts (faster,
+        # but not the same physics).
+        _, ev = jax.vmap(step, in_axes=(0, None))(state, params)
+        return jnp.maximum(jnp.max(ev.solver_overflow),
+                           jnp.max(ev.broadphase_overflow))
+
     # Warmup/compile + settle so contacts exist (solver does real work).
     out = run_chunk(batch, params)
     for _ in range(max(settle_steps // chunk - 1, 0)):
@@ -122,6 +136,9 @@ def main():
     # synchronous dispatch, which only adds ~0.3-25 ms per *chunk* — noise
     # against chunk runtimes).
     float(checksum(out))
+
+    ovf = int(max_overflow(out))
+    assert ovf == 0, f"bench config overflows ({ovf} pairs dropped) — not honest"
 
     t0 = time.time()
     for _ in range(n_chunks):

@@ -110,6 +110,44 @@ class RoutePlan(NamedTuple):
     inv_pair: jax.Array = None
 
 
+class PairOneHot(NamedTuple):
+    """Fused two-endpoint one-hot routing: [2P, N+1] with endpoint-1 rows
+    first.  Gathering/scattering BOTH endpoints rides ONE matmul instead of
+    two — matmul COUNT (fixed MXU issue latency at these tiny sizes), not
+    FLOPs, is what the solver's color passes pay for.  Built by
+    pair_onehots; solve_color/update/warmstart/generate_from dispatch on
+    the type.
+
+    `idx12` (Pallas kernels only, single-vreg body tables — N+1 padded to
+    exactly 128 lanes): gathers use Mosaic's native per-lane dynamic gather
+    (`take_along_axis`, one VPU op per 128-lane output tile) instead of the
+    one-hot matmul, freeing the MXU (f32 matmuls cost 3 bf16 passes each).
+    Scatters always ride the oh12 matmul (no dynamic-scatter on TPU).
+    NEVER set outside a kernel: XLA lowers lane gathers to the serializing
+    gather path (~25 ms/step at the 4096-scene bench)."""
+
+    oh12: jax.Array          # [2P, N+1] f32
+    p: int                   # lanes per endpoint (static)
+    idx12: jax.Array = None  # [2P] int32, values < 128 (kernel gather mode)
+
+
+def _lane_gather(table, idx2):
+    """Kernel-only gather of a single-vreg table: table [d, 128] indexed by
+    idx2 [2, P] (P a multiple of 128) -> [d, 2P] (endpoint-1 columns first).
+    One tpu.dynamic_gather per output tile (Mosaic limit: one source vreg
+    along the gather dim); idx2 stays rank-2 throughout (Mosaic rejects
+    rank-1 reshapes/concats)."""
+    d = table.shape[0]
+    outs = []
+    for e in range(idx2.shape[0]):
+        for t in range(idx2.shape[1] // 128):
+            bidx = jnp.broadcast_to(
+                idx2[e:e + 1, t * 128:(t + 1) * 128] + 0, (d, 128)
+            )
+            outs.append(jnp.take_along_axis(table, bidx, axis=1))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _onehot(idx, n):
     """Lane routing: [K] int -> [K, n] f32 one-hot matrix, or scene-folded
     [S, P] int -> [S, P, n].  Gathers/scatter-adds become matmuls on this:
@@ -219,30 +257,52 @@ def generate_from(b1, b2, valid, color, normal, point, point_active, dist,
     [S, d, N+1]); all elementwise math broadcasts unchanged."""
     lane_shape = b1.shape
 
+    if oh1 is None and b1.ndim == 1 and (
+        b1.shape[0] * 2 * (n_bodies + 1) <= routing.DENSE_ROUTE_ELEMS
+    ):
+        oh1, oh2 = make_pair_onehot(b1, b2, n_bodies + 1), None
     if oh1 is None:
         oh1 = _onehot(b1, n_bodies + 1)
-    if oh2 is None:
+    if oh2 is None and not isinstance(oh1, PairOneHot):
         oh2 = _onehot(b2, n_bodies + 1)
-    v1l = _gather_cl(sb.v_lin, oh1)   # [3, P]
-    w1 = _gather_cl(sb.v_ang, oh1)
-    v2l = _gather_cl(sb.v_lin, oh2)
-    w2 = _gather_cl(sb.v_ang, oh2)
-    com1 = _gather_cl(sb.com, oh1)
-    com2 = _gather_cl(sb.com, oh2)
-    rot1 = _gather_cl(sb.rot, oh1)
-    rot2 = _gather_cl(sb.rot, oh2)
-    im1 = _gather_cl(sb.im, oh1)
-    im2 = _gather_cl(sb.im, oh2)
-    # Per-lane world inverse inertia as 9 gathered component rows
-    # [3][3] of [P] (explicit unroll: Mosaic-safe, and identical XLA code).
-    # Plain layout stores ii [3, 3, N+1]; the folded kernel passes [S, 9, N+1].
     ii_flat = (
         sb.ii.reshape(9, sb.ii.shape[-1])
         if sb.ii.ndim == 3 and sb.ii.shape[0] == 3 and sb.ii.shape[1] == 3
         else sb.ii
     )
-    ii1_r = _gather_cl(ii_flat, oh1)               # [9, P]
-    ii2_r = _gather_cl(ii_flat, oh2)
+    if isinstance(oh1, PairOneHot):
+        # ONE fused [25, N+1] row table x [N+1, 2P] matmul for every
+        # per-endpoint quantity (matmul count, not FLOPs, dominates the
+        # tiny-matrix routing — see PairOneHot).
+        big = jnp.concatenate(
+            [sb.v_lin, sb.v_ang, sb.com, sb.rot, sb.im, ii_flat], axis=0
+        )                                               # [25, N+1]
+        G1, G2 = _gather2(big, oh1, oh2)
+        # `+ 0.0` launders the sublane-range slices (Mosaic layout inference
+        # rejects sliced views flowing into loop-carried values).
+        v1l, w1, com1, rot1, im1, ii1_r = (
+            G1[0:3] + 0.0, G1[3:6] + 0.0, G1[6:9] + 0.0, G1[9:13] + 0.0,
+            G1[13:16] + 0.0, G1[16:25] + 0.0)
+        v2l, w2, com2, rot2, im2, ii2_r = (
+            G2[0:3] + 0.0, G2[3:6] + 0.0, G2[6:9] + 0.0, G2[9:13] + 0.0,
+            G2[13:16] + 0.0, G2[16:25] + 0.0)
+    else:
+        v1l = _gather_cl(sb.v_lin, oh1)   # [3, P]
+        w1 = _gather_cl(sb.v_ang, oh1)
+        v2l = _gather_cl(sb.v_lin, oh2)
+        w2 = _gather_cl(sb.v_ang, oh2)
+        com1 = _gather_cl(sb.com, oh1)
+        com2 = _gather_cl(sb.com, oh2)
+        rot1 = _gather_cl(sb.rot, oh1)
+        rot2 = _gather_cl(sb.rot, oh2)
+        im1 = _gather_cl(sb.im, oh1)
+        im2 = _gather_cl(sb.im, oh2)
+        # Per-lane world inverse inertia as 9 gathered component rows
+        # [3][3] of [P] (explicit unroll: Mosaic-safe, identical XLA code).
+        # Plain layout stores ii [3,3,N+1]; the folded kernel passes
+        # [S, 9, N+1].
+        ii1_r = _gather_cl(ii_flat, oh1)               # [9, P]
+        ii2_r = _gather_cl(ii_flat, oh2)
     ii1 = [[ii1_r[3 * a + b] for b in range(3)] for a in range(3)]
     ii2 = [[ii2_r[3 * a + b] for b in range(3)] for a in range(3)]
 
@@ -376,12 +436,42 @@ def generate_from(b1, b2, valid, color, normal, point, point_active, dist,
 
 
 def pair_onehots(c: ContactConstraints, n1: int):
-    """The [P, N+1] one-hot gather/scatter matrices for both endpoints.
+    """The one-hot gather/scatter routing for both endpoints.
 
     Computed ONCE per step and threaded through every substep/color pass —
     rebuilding them inside the sweep loops costs 2x[P,N+1] equality+cast per
-    pass (dozens of passes per step), pure HBM traffic."""
+    pass (dozens of passes per step), pure HBM traffic.
+
+    Dense sizes return ONE fused PairOneHot ([2P, N+1]); large scenes fall
+    back to two RoutePlans."""
+    if c.b1.ndim == 1 and c.b1.shape[0] * 2 * n1 <= routing.DENSE_ROUTE_ELEMS:
+        return make_pair_onehot(c.b1, c.b2, n1), None
     return _onehot(c.b1, n1), _onehot(c.b2, n1)
+
+
+def make_pair_onehot(b1, b2, n1: int) -> PairOneHot:
+    """Fused [2P, N+1] endpoint routing (see PairOneHot)."""
+    idx12 = jnp.concatenate([b1, b2])
+    ids = jax.lax.broadcasted_iota(jnp.int32, (idx12.shape[0], n1), 1)
+    return PairOneHot((idx12[:, None] == ids).astype(jnp.float32), b1.shape[0])
+
+
+def _gather2(table, oh1, oh2):
+    """Gather table rows [d, N+1] for both endpoints -> ([d, P], [d, P])."""
+    if isinstance(oh1, PairOneHot):
+        if oh1.idx12 is not None:
+            g = _lane_gather(table, oh1.idx12)
+        else:
+            g = table @ oh1.oh12.T
+        return g[..., :oh1.p] + 0.0, g[..., oh1.p:] + 0.0
+    return _gather_cl(table, oh1), _gather_cl(table, oh2)
+
+
+def _scatter_add2(table, oh1, oh2, v1, v2):
+    """table += route(v1 via oh1) + route(v2 via oh2), fused when possible."""
+    if isinstance(oh1, PairOneHot):
+        return table + jnp.concatenate([v1, v2], axis=-1) @ oh1.oh12
+    return _scatter_add_cl(_scatter_add_cl(table, oh1, v1), oh2, v2)
 
 
 def update(c: ContactConstraints, sb: SolverBodies, oh1, oh2, *, cfm_factor,
@@ -390,10 +480,16 @@ def update(c: ContactConstraints, sb: SolverBodies, oh1, oh2, *, cfm_factor,
     """Per-substep soft-constraint rhs recompute from current solver poses
     (reference contact_with_twist_friction.rs:251-330).  Rate arguments are
     for the SUBSTEP dt."""
-    com1 = _gather_cl(sb.com, oh1)
-    com2 = _gather_cl(sb.com, oh2)
-    rot1 = _gather_cl(sb.rot, oh1)
-    rot2 = _gather_cl(sb.rot, oh2)
+    if isinstance(oh1, PairOneHot):
+        pose = jnp.concatenate([sb.com, sb.rot], axis=0)   # [7, N+1]
+        P1, P2 = _gather2(pose, oh1, oh2)
+        com1, rot1 = P1[0:3] + 0.0, P1[3:7] + 0.0
+        com2, rot2 = P2[0:3] + 0.0, P2[3:7] + 0.0
+    else:
+        com1 = _gather_cl(sb.com, oh1)
+        com2 = _gather_cl(sb.com, oh2)
+        rot1 = _gather_cl(sb.rot, oh1)
+        rot2 = _gather_cl(sb.rot, oh2)
 
     # Per-point unrolled (k=0..3): keeps every reduction an explicit 3-term
     # dot over fresh [3, P] values — Mosaic (Pallas TPU) rejects sublane-axis
@@ -472,6 +568,14 @@ def warmstart(c: ContactConstraints, sb: SolverBodies, oh1, oh2) -> SolverBodies
         upd = routing.segment_sum(vals, oh1.seg_pair)  # [6, N+1]
         return sb._replace(v_lin=sb.v_lin + upd[0:3],
                            v_ang=sb.v_ang + upd[3:6])
+    if isinstance(oh1, PairOneHot):
+        vals = jnp.concatenate([
+            jnp.concatenate([dv1, dw1], axis=0),
+            jnp.concatenate([dv2, dw2], axis=0),
+        ], axis=-1)                                    # [6, 2P]
+        upd = vals @ oh1.oh12                          # [6, N+1], one matmul
+        return sb._replace(v_lin=sb.v_lin + upd[0:3] + 0.0,
+                           v_ang=sb.v_ang + upd[3:6] + 0.0)
     v_lin = _scatter_add_cl(_scatter_add_cl(sb.v_lin, oh1, dv1), oh2, dv2)
     v_ang = _scatter_add_cl(_scatter_add_cl(sb.v_ang, oh1, dw1), oh2, dw2)
     return sb._replace(v_lin=v_lin, v_ang=v_ang)
@@ -495,10 +599,16 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
     mask = c.valid & (c.color == color_id)
     fmask = mask.astype(jnp.float32)
 
-    v1 = _gather_cl(sb.v_lin, oh1)
-    w1 = _gather_cl(sb.v_ang, oh1)
-    v2 = _gather_cl(sb.v_lin, oh2)
-    w2 = _gather_cl(sb.v_ang, oh2)
+    if isinstance(oh1, PairOneHot):
+        vw = jnp.concatenate([sb.v_lin, sb.v_ang], axis=0)  # [6, N+1]
+        V1, V2 = _gather2(vw, oh1, oh2)
+        v1, w1 = V1[0:3] + 0.0, V1[3:6] + 0.0
+        v2, w2 = V2[0:3] + 0.0, V2[3:6] + 0.0
+    else:
+        v1 = _gather_cl(sb.v_lin, oh1)
+        w1 = _gather_cl(sb.v_ang, oh1)
+        v2 = _gather_cl(sb.v_lin, oh2)
+        w2 = _gather_cl(sb.v_ang, oh2)
     v1_0, w1_0, v2_0, w2_0 = v1, w1, v2, w2
 
     cfm = c.cfm_factor if use_bias else 1.0
@@ -680,6 +790,14 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
         upd = routing.segment_sum(vals, oh1.seg_pair)  # [6, N+1]
         v_lin = sb.v_lin + upd[0:3]
         v_ang = sb.v_ang + upd[3:6]
+    elif isinstance(oh1, PairOneHot):
+        vals = jnp.concatenate([
+            jnp.concatenate([(v1 - v1_0) * m, (w1 - w1_0) * m], axis=0),
+            jnp.concatenate([(v2 - v2_0) * m, (w2 - w2_0) * m], axis=0),
+        ], axis=-1)                                    # [6, 2P]
+        upd = vals @ oh1.oh12                          # [6, N+1], one matmul
+        v_lin = sb.v_lin + upd[0:3] + 0.0
+        v_ang = sb.v_ang + upd[3:6] + 0.0
     else:
         v_lin = _scatter_add_cl(
             _scatter_add_cl(sb.v_lin, oh1, (v1 - v1_0) * m),

@@ -23,7 +23,10 @@ from rapier_tpu.math import quat
 from rapier_tpu.math.quat import cross_cl, dot_cl, rotate_cl
 from rapier_tpu.dynamics.solver.contact_constraints import (
     SolverBodies,
+    PairOneHot,
+    _gather2,
     _gather_cl,
+    make_pair_onehot,
     _onehot,
     compute_tangent_directions,
 )
@@ -74,21 +77,22 @@ def generate(man, sb: SolverBodies, prev_impulse, color, n_bodies: int):
     b2 = jnp.where((man.body2 >= 0) & (man.rel_dominance >= 0), man.body2, sent)
     p = b1.shape[0]
 
-    oh1 = _onehot(b1, n_bodies + 1)
-    oh2 = _onehot(b2, n_bodies + 1)
-    v1l = _gather_cl(sb.v_lin, oh1)
-    w1 = _gather_cl(sb.v_ang, oh1)
-    v2l = _gather_cl(sb.v_lin, oh2)
-    w2 = _gather_cl(sb.v_ang, oh2)
-    com1 = _gather_cl(sb.com, oh1)
-    com2 = _gather_cl(sb.com, oh2)
-    rot1 = _gather_cl(sb.rot, oh1)
-    rot2 = _gather_cl(sb.rot, oh2)
-    im1 = _gather_cl(sb.im, oh1)
-    im2 = _gather_cl(sb.im, oh2)
+    from rapier_tpu.utils import routing as _routing
+
+    if p * 2 * (n_bodies + 1) <= _routing.DENSE_ROUTE_ELEMS:
+        oh1, oh2 = make_pair_onehot(b1, b2, n_bodies + 1), None
+    else:
+        oh1 = _onehot(b1, n_bodies + 1)
+        oh2 = _onehot(b2, n_bodies + 1)
     ii_flat = sb.ii.reshape(9, sb.ii.shape[-1])
-    ii1_r = _gather_cl(ii_flat, oh1)
-    ii2_r = _gather_cl(ii_flat, oh2)
+    big = jnp.concatenate(
+        [sb.v_lin, sb.v_ang, sb.com, sb.rot, sb.im, ii_flat], axis=0
+    )                                               # [25, N+1]
+    G1, G2 = _gather2(big, oh1, oh2)
+    v1l, w1, com1, rot1, im1, ii1_r = (
+        G1[0:3], G1[3:6], G1[6:9], G1[9:13], G1[13:16], G1[16:25])
+    v2l, w2, com2, rot2, im2, ii2_r = (
+        G2[0:3], G2[3:6], G2[6:9], G2[9:13], G2[13:16], G2[16:25])
     ii1 = [[ii1_r[3 * a + b] for b in range(3)] for a in range(3)]
     ii2 = [[ii2_r[3 * a + b] for b in range(3)] for a in range(3)]
 
@@ -188,10 +192,16 @@ def update(c: CoulombConstraints, sb: SolverBodies, oh1, oh2, *, cfm_factor,
            warmstart_coeff) -> CoulombConstraints:
     """Per-substep soft-rhs recompute (contact_with_coulomb_friction.rs
     :251-318)."""
-    com1 = _gather_cl(sb.com, oh1)
-    com2 = _gather_cl(sb.com, oh2)
-    rot1 = _gather_cl(sb.rot, oh1)
-    rot2 = _gather_cl(sb.rot, oh2)
+    if isinstance(oh1, PairOneHot):
+        pose = jnp.concatenate([sb.com, sb.rot], axis=0)
+        P1, P2 = _gather2(pose, oh1, oh2)
+        com1, rot1 = P1[0:3], P1[3:7]
+        com2, rot2 = P2[0:3], P2[3:7]
+    else:
+        com1 = _gather_cl(sb.com, oh1)
+        com2 = _gather_cl(sb.com, oh2)
+        rot1 = _gather_cl(sb.rot, oh1)
+        rot2 = _gather_cl(sb.rot, oh2)
 
     tangent2 = cross_cl(c.dir1, c.tangent1)
     tans = (c.tangent1, tangent2)
@@ -245,8 +255,14 @@ def warmstart(c: CoulombConstraints, sb: SolverBodies, oh1, oh2) -> SolverBodies
             + c.tan_ii_torque_dir2[k, 1] * t1[None]
 
     return sb._replace(
-        v_lin=sb.v_lin + dv1 @ oh1 + dv2 @ oh2,
-        v_ang=sb.v_ang + dw1 @ oh1 + dw2 @ oh2,
+        v_lin=(sb.v_lin
+               + jnp.concatenate([dv1, dv2], axis=-1) @ oh1.oh12
+               if isinstance(oh1, PairOneHot)
+               else sb.v_lin + dv1 @ oh1 + dv2 @ oh2),
+        v_ang=(sb.v_ang
+               + jnp.concatenate([dw1, dw2], axis=-1) @ oh1.oh12
+               if isinstance(oh1, PairOneHot)
+               else sb.v_ang + dw1 @ oh1 + dw2 @ oh2),
     )
 
 
@@ -258,10 +274,16 @@ def solve_color(c: CoulombConstraints, sb: SolverBodies, color_id, oh1, oh2,
     mask = c.valid & (c.color == color_id)
     fmask = mask.astype(jnp.float32)
 
-    v1 = _gather_cl(sb.v_lin, oh1)
-    w1 = _gather_cl(sb.v_ang, oh1)
-    v2 = _gather_cl(sb.v_lin, oh2)
-    w2 = _gather_cl(sb.v_ang, oh2)
+    if isinstance(oh1, PairOneHot):
+        vw = jnp.concatenate([sb.v_lin, sb.v_ang], axis=0)
+        V1, V2 = _gather2(vw, oh1, oh2)
+        v1, w1 = V1[0:3], V1[3:6]
+        v2, w2 = V2[0:3], V2[3:6]
+    else:
+        v1 = _gather_cl(sb.v_lin, oh1)
+        w1 = _gather_cl(sb.v_ang, oh1)
+        v2 = _gather_cl(sb.v_lin, oh2)
+        w2 = _gather_cl(sb.v_ang, oh2)
     v1_0, w1_0, v2_0, w2_0 = v1, w1, v2, w2
 
     cfm = c.cfm_factor if use_bias else 1.0
@@ -325,8 +347,16 @@ def solve_color(c: CoulombConstraints, sb: SolverBodies, color_id, oh1, oh2,
     tan_impulse = jnp.stack(tan_rows)
 
     m = fmask[None]
-    v_lin = sb.v_lin + ((v1 - v1_0) * m) @ oh1 + ((v2 - v2_0) * m) @ oh2
-    v_ang = sb.v_ang + ((w1 - w1_0) * m) @ oh1 + ((w2 - w2_0) * m) @ oh2
+    if isinstance(oh1, PairOneHot):
+        dvw = jnp.concatenate([
+            jnp.concatenate([(v1 - v1_0) * m, (w1 - w1_0) * m], axis=0),
+            jnp.concatenate([(v2 - v2_0) * m, (w2 - w2_0) * m], axis=0),
+        ], axis=-1) @ oh1.oh12                     # [6, N+1], one matmul
+        v_lin = sb.v_lin + dvw[0:3]
+        v_ang = sb.v_ang + dvw[3:6]
+    else:
+        v_lin = sb.v_lin + ((v1 - v1_0) * m) @ oh1 + ((v2 - v2_0) * m) @ oh2
+        v_ang = sb.v_ang + ((w1 - w1_0) * m) @ oh1 + ((w2 - w2_0) * m) @ oh2
 
     c = c._replace(
         impulse=jnp.where(mask[None], impulses, c.impulse),

@@ -137,10 +137,28 @@ def _kernel(scalars_ref, ncol_ref, man_ref, vlin_ref, vang_ref, com_ref,
     dw_inc = dw_ref[...]
     move = move_ref[...] > 0.0               # [1, N1] rank-2
 
-    # One-hot gather/scatter matrices (built once, VMEM-resident).
+    # One-hot gather/scatter matrices (built once, VMEM-resident).  Fused
+    # [2P, N1] endpoint routing (cc.PairOneHot) when the lane count is
+    # tile-aligned: halves the matmul COUNT of every pass, which is what
+    # the tiny-matrix routing pays for (fixed MXU issue latency).
     ids = jax.lax.broadcasted_iota(jnp.int32, (p, n1), 1)
-    oh1 = (b1[:, None] == ids).astype(jnp.float32)
-    oh2 = (b2[:, None] == ids).astype(jnp.float32)
+    if p % 128 == 0:
+        # Rank-2 concat only: Mosaic rejects rank-1 concatenate ("input
+        # offsets outside of the first tile").
+        oh12 = jnp.concatenate([
+            (b1[:, None] == ids).astype(jnp.float32),
+            (b2[:, None] == ids).astype(jnp.float32),
+        ], axis=0)
+        # Single-vreg body tables (N+1 padded to 128 by _legacy_solve):
+        # gathers ride tpu.dynamic_gather, scatters the oh12 matmul.
+        idx12 = None
+        if n1 == 128:
+            idx12 = jnp.concatenate([b1[None, :], b2[None, :]], axis=0)
+        oh1 = cc.PairOneHot(oh12, p, idx12)
+        oh2 = None
+    else:
+        oh1 = (b1[:, None] == ids).astype(jnp.float32)
+        oh2 = (b2[:, None] == ids).astype(jnp.float32)
 
     # In-VMEM constraint generation (contact_with_twist_friction.rs:48-250).
     cons = cc.generate_from(
@@ -227,6 +245,24 @@ def _legacy_solve(sb, man, num_colors, dv_inc, dw_inc, move_mask, scalars_vec,
     n1 = sb.v_lin.shape[-1]
     f32 = jnp.float32
 
+    # Pad the body axis to a 128-lane multiple: at exactly one vreg (<= 127
+    # bodies) the kernel's gathers ride tpu.dynamic_gather instead of the
+    # one-hot matmul (PairOneHot.idx12).  Scattering into padded columns is
+    # harmless (sliced off below).
+    n1p = -(-n1 // 128) * 128
+    if n1p != n1:
+        def padl(x):
+            return jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (n1p - n1,), x.dtype)], axis=-1
+            )
+        sb = sb._replace(
+            v_lin=padl(sb.v_lin), v_ang=padl(sb.v_ang), com=padl(sb.com),
+            rot=padl(sb.rot), im=padl(sb.im), ii=padl(sb.ii),
+        )
+        dv_inc, dw_inc = padl(dv_inc), padl(dw_inc)
+        move_mask = padl(move_mask)
+    n1_out, n1 = n1, n1p
+
     scalars = jnp.broadcast_to(
         jnp.concatenate([scalars_vec.astype(f32),
                          jnp.zeros((1,), f32)])[:, None],
@@ -257,6 +293,12 @@ def _legacy_solve(sb, man, num_colors, dv_inc, dw_inc, move_mask, scalars_vec,
     )(scalars, ncol, man, sb.v_lin, sb.v_ang, sb.com, sb.rot, sb.im, sb.ii,
       dv_inc, dw_inc, move)
 
+    if n1 != n1_out:
+        vlin, vang, com, rot = (
+            vlin[:, :n1_out], vang[:, :n1_out], com[:, :n1_out],
+            rot[:, :n1_out])
+        sb = sb._replace(
+            im=sb.im[:, :n1_out], ii=sb.ii[..., :n1_out])
     sb = sb._replace(v_lin=vlin, v_ang=vang, com=com, rot=rot)
     return sb, imp
 

@@ -18,48 +18,6 @@ import numpy as np
 from rapier_tpu.types import BodyType, BroadPhaseKind
 
 
-def _pair_filter_mask(c1, c2, colliders, body_type):
-    """Cheap pre-filters applied in the broad phase (reference applies them in
-    the narrow phase, src/geometry/narrow_phase.rs:834-932; hoisting them here
-    saves pair-buffer slots and is behaviorally identical).
-
-    Args:
-      c1, c2: int32 arrays of candidate collider indices.
-      colliders: Colliders.
-      body_type: [N] int32 body types.
-    """
-    enabled = colliders.enabled[c1] & colliders.enabled[c2]
-
-    p1 = colliders.parent[c1]
-    p2 = colliders.parent[c2]
-    same_parent = (p1 == p2) & (p1 >= 0)
-
-    # ActiveCollisionTypes test (reference collider_components.rs:282 test():
-    # pair proceeds if EITHER collider's mask allows the (type1, type2)
-    # combination; default mask = dynamic vs anything).
-    t1 = jnp.where(p1 >= 0, body_type[jnp.maximum(p1, 0)], int(BodyType.FIXED))
-    t2 = jnp.where(p2 >= 0, body_type[jnp.maximum(p2, 0)], int(BodyType.FIXED))
-    a1 = colliders.active_collision_types[c1]
-    a2 = colliders.active_collision_types[c2]
-
-    def _act(a):
-        return ((((a >> (t1 * 4)) & 15) & (1 << t2)) != 0) | (
-            (((a >> (t2 * 4)) & 15) & (1 << t1)) != 0
-        )
-
-    any_dynamic = _act(a1) | _act(a2)
-
-    # InteractionGroups AND test (reference src/geometry/interaction_groups.rs,
-    # default test mode): (m1 & f2) != 0 && (m2 & f1) != 0.
-    g1 = colliders.collision_groups[c1]
-    g2 = colliders.collision_groups[c2]
-    m1, f1 = g1 >> 16, g1 & 0xFFFF
-    m2, f2 = g2 >> 16, g2 & 0xFFFF
-    groups_ok = ((m1 & f2) != 0) & ((m2 & f1) != 0)
-
-    return enabled & ~same_parent & any_dynamic & groups_ok
-
-
 def _compact_pairs(c1, c2, mask, max_pairs):
     """Compact masked candidate pairs into a fixed [P] buffer.
 
@@ -97,7 +55,12 @@ def find_pairs_all(mins, maxs, colliders, body_type, max_pairs: int):
     enabled = colliders.enabled
     parent = colliders.parent
     safe_p = jnp.maximum(parent, 0)
-    bt = jnp.where(parent >= 0, body_type[safe_p], int(BodyType.FIXED))
+    from rapier_tpu.utils.routing import route_rows
+
+    bt_r = route_rows(
+        body_type[None].astype(jnp.float32), safe_p, body_type.shape[0]
+    )[0].astype(jnp.int32)
+    bt = jnp.where(parent >= 0, bt_r, int(BodyType.FIXED))
     g = colliders.collision_groups
     m, f = g >> 16, g & 0xFFFF
 

@@ -73,14 +73,22 @@ def _combine_material(v1, v2, rule1, rule2):
 
 
 def collider_world_poses(bodies, colliders):
-    """World pose of every collider: parent pose ∘ local pose."""
+    """World pose of every collider: parent pose ∘ local pose.
+
+    Parent pose lookup rides ONE routed matmul over a [7, N] row table
+    (utils/routing.route_rows): batched per-scene index gathers cost ~100x
+    more than the one-hot contraction under vmap."""
+    from rapier_tpu.utils.routing import route_rows
+
     parent = colliders.parent
     safe_p = jnp.maximum(parent, 0)
     has_parent = parent >= 0
-    bp = jnp.where(has_parent[:, None], bodies.pos[safe_p], 0.0)
+    rows = jnp.concatenate([bodies.pos.T, bodies.rot.T], axis=0)  # [7, N]
+    pr = route_rows(rows, safe_p, bodies.pos.shape[0])            # [7, C]
+    bp = jnp.where(has_parent[:, None], pr[0:3].T, 0.0)
     br = jnp.where(
         has_parent[:, None],
-        bodies.rot[safe_p],
+        pr[3:7].T,
         jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]), (parent.shape[0], 4)),
     )
     w_pos, w_rot = quat.compose(bp, br, colliders.local_pos, colliders.local_rot)
@@ -152,16 +160,16 @@ def _bucket_cap(ta, tb, counts, p):
 
 
 def _bucket_route(mask, cap: int):
-    """Compacting one-hot route [C, P] for `mask` lanes + (bvalid, overflow)."""
-    from rapier_tpu.utils.compaction import compact_indices
+    """Compacting one-hot route [C, P] for `mask` lanes + (bvalid, overflow).
+
+    Built directly from compaction ranks (utils/compaction.compact_route) —
+    no index materialization, no takes."""
+    from rapier_tpu.utils.compaction import compact_route
 
     from rapier_tpu import precision as _prec
     f32 = _prec.FLOAT
-    p = mask.shape[0]
-    src, bvalid, overflow = compact_indices(mask, cap)
-    ids = jnp.arange(p)
-    oh = ((src[:, None] == ids[None, :]) & bvalid[:, None]).astype(f32)  # [C, P]
-    return oh, bvalid, overflow
+    oh, bvalid, overflow = compact_route(mask, cap)
+    return oh.astype(f32), bvalid, overflow
 
 
 def _scatter_manifold(man_b, oh, bvalid, p: int) -> "nph.Manifold":
@@ -197,16 +205,40 @@ def _run_bucketed(kern, mask, cap: int, TA, TB):
     return _scatter_manifold(man_b, oh, bvalid, p), overflow
 
 
-def _soft_ccd_cols(bodies, colliders, safe_p, parent, dt):
+def parent_body_cols(bodies, parent):
+    """Per-collider parent-body columns via ONE routed matmul
+    (utils/routing.route_rows; batched per-scene gathers are ~100x slower
+    under vmap).  Returns (bt_c, mb_link_c, dominance_c, soft_ccd_c,
+    linvel_c [C, 3]) with parent<0 rows already defaulted."""
+    from rapier_tpu.utils.routing import route_rows
+
+    safe_p = jnp.maximum(parent, 0)
+    has = parent >= 0
+    f32 = jnp.float32
+    rows = jnp.concatenate([
+        bodies.body_type[None].astype(f32),
+        bodies.mb_link[None].astype(f32),
+        bodies.dominance[None].astype(f32),
+        bodies.soft_ccd_prediction[None].astype(f32),
+        bodies.linvel.T.astype(f32),
+    ], axis=0)                                            # [7, N]
+    pr = route_rows(rows, safe_p, bodies.n)               # [7, C]
+    bt_c = jnp.where(has, pr[0].astype(jnp.int32), int(BodyType.FIXED))
+    mb_link_c = has & (pr[1] > 0.5)
+    dom_c = pr[2].astype(jnp.int32)
+    soft_c = jnp.where(has, pr[3], 0.0)
+    linvel_c = jnp.where(has[:, None], pr[4:7].T, 0.0)
+    return bt_c, mb_link_c, dom_c, soft_c, linvel_c
+
+
+def _soft_ccd_cols(soft, v, c: int, dt):
     """Staged columns 34:38 for soft-CCD inflation: parent linvel clamped to
-    soft_ccd_prediction/dt (narrow_phase.rs:953-958) + an active flag."""
+    soft_ccd_prediction/dt (narrow_phase.rs:953-958) + an active flag.
+    `soft`/`v` come pre-routed from parent_body_cols."""
     from rapier_tpu import precision as _prec
     f32 = _prec.FLOAT
-    c = parent.shape[0]
     if dt is None:
         return jnp.zeros((c, 4), f32)
-    soft = jnp.where(parent >= 0, bodies.soft_ccd_prediction[safe_p], 0.0)
-    v = jnp.where((parent >= 0)[:, None], bodies.linvel[safe_p], 0.0)
     inv_dt = jnp.where(jnp.asarray(dt) == 0, 0.0, 1.0 / jnp.asarray(dt))
     vmag = jnp.linalg.norm(v, axis=-1, keepdims=True)
     cap = (soft * inv_dt)[:, None]
@@ -269,14 +301,13 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
     from rapier_tpu import precision as _prec
     f32 = _prec.FLOAT
     parent = colliders.parent
-    safe_p = jnp.maximum(parent, 0)
-    bt_c = jnp.where(parent >= 0, bodies.body_type[safe_p], int(BodyType.FIXED))
+    bt_c, mb_link_c, dom_raw, soft_c, linvel_c = parent_body_cols(
+        bodies, parent
+    )
     # Solver-dynamic: responds to contact impulses — dynamic bodies AND
     # multibody links (two-way coupling, dynamics/multibody.py phase B).
-    sdyn_c = (bt_c == BodyType.DYNAMIC) | jnp.where(
-        parent >= 0, bodies.mb_link[safe_p], False
-    )
-    dom_c = jnp.where(sdyn_c, bodies.dominance[safe_p], 127)
+    sdyn_c = (bt_c == BodyType.DYNAMIC) | mb_link_c
+    dom_c = jnp.where(sdyn_c, dom_raw, 127)
     sg = colliders.solver_groups
     cols = jnp.concatenate([
         w_pos,                                              # 0:3
@@ -298,7 +329,7 @@ def compute_manifolds(bodies, colliders, c1, c2, pair_valid, prediction,
         # inf would poison the one-hot matmul (0*inf = NaN): clamp.
         jnp.minimum(colliders.contact_force_event_threshold, 3.0e38)[:, None],  # 32
         sdyn_c[:, None].astype(f32),                        # 33 solver-dyn
-        _soft_ccd_cols(bodies, colliders, safe_p, parent, dt),  # 34:38
+        _soft_ccd_cols(soft_c, linvel_c, parent.shape[0], dt),  # 34:38
     ], axis=1)
     n_staged_cols = cols.shape[1]        # 38 today; derived, never hardcoded
 

@@ -91,6 +91,27 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
     old_keys = jnp.where(prev.pair_key >= 0, prev.pair_key, -2)
     pn, po = new_keys.shape[0], old_keys.shape[0]
 
+    # All per-old-pair fields the join routes, stacked so the dense branch
+    # pays for the [Pn, Po] equality matrix ONCE (one stacked matmul instead
+    # of six — the separate join_pair matmuls re-read the 1 MB/scene matrix
+    # each and cost ~16 ms/step at the 4096-scene bench).
+    twist_3d = prev.warmstart_tangent_impulse.ndim == 3
+    tan_rows = (
+        prev.warmstart_tangent_impulse.reshape(-1, po) if twist_3d
+        else prev.warmstart_tangent_impulse
+    )
+    n_tan = tan_rows.shape[0]
+    stacked = jnp.concatenate([
+        prev.feature_id.astype(jnp.float32),            # 0:4
+        prev.point_active.astype(jnp.float32),          # 4:8
+        prev.warmstart_impulse.astype(jnp.float32),     # 8:12
+        prev.impulse.astype(jnp.float32),               # 12:16
+        tan_rows.astype(jnp.float32),                   # 16:16+n_tan
+        prev.warmstart_twist_impulse.astype(jnp.float32)[None],
+        prev.touching.astype(jnp.float32)[None],
+        jnp.ones((1, po), jnp.float32),                 # hit detector row
+    ], axis=0)
+
     if pn * po > _DENSE_JOIN_ELEMS:
         from rapier_tpu.utils.routing import searchsorted_blocked
 
@@ -100,28 +121,21 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
         src = order[pos]
         hit = sk[pos] == new_keys                            # [Pn]
         matched = hit & man.valid
-
-        def join_pair(arr):
-            """Route per-old-pair values [..., Po] to new lanes [..., Pn]."""
-            return jnp.where(hit, arr.astype(jnp.float32)[..., src], 0.0)
+        J = jnp.where(hit, stacked[..., src], 0.0)
 
         tkeys = jnp.sort(jnp.where(man.valid & man.touching, man.pair_key, -3))
         tpos = jnp.clip(searchsorted_blocked(tkeys, old_keys), 0, pn - 1)
         still = tkeys[tpos] == old_keys                      # [Po]
     else:
         eq = new_keys[:, None] == old_keys[None, :]          # [Pn, Po] bool
-        matched = jnp.any(eq, axis=1) & man.valid
         eqf = eq.astype(jnp.float32)
-
-        def join_pair(arr):
-            """Route per-old-pair values [..., Po] to new lanes [..., Pn]."""
-            return arr.astype(jnp.float32) @ eqf.T
-
-        still = jnp.any(eq & man.touching[:, None], axis=0)
+        J = stacked @ eqf.T                                  # ONE matmul
+        matched = (J[-1] > 0) & man.valid
+        still = (man.touching.astype(jnp.float32) @ eqf) > 0
 
     # Per-point feature-id matching (4 new x 4 old), via joined fid rows.
-    old_fid = join_pair(prev.feature_id)                     # [4old, Pn]
-    old_pact = join_pair(prev.point_active) > 0
+    old_fid = J[0:4]                                         # [4old, Pn]
+    old_pact = J[4:8] > 0
     fmatch = (
         (man.fid[:, None, :].astype(jnp.float32) == old_fid[None, :, :])
         & old_pact[None, :, :]
@@ -140,24 +154,25 @@ def _match_previous(prev: Contacts, man: ManifoldBatch):
     )
     ff = first.astype(jnp.float32)                           # [4new, 4old, Pn]
 
-    def take(arr):
-        """Per-point old values [4old, Po] -> matched new points [4new, Pn]."""
-        return jnp.einsum("kop,op->kp", ff, join_pair(arr))
+    def take(rows):
+        """Joined per-point old values [4old, Pn] -> matched new points
+        [4new, Pn]."""
+        return jnp.einsum("kop,op->kp", ff, rows)
 
-    ws_normal = take(prev.warmstart_impulse)
-    prev_impulse = take(prev.impulse)
-    if prev.warmstart_tangent_impulse.ndim == 3:
+    ws_normal = take(J[8:12])
+    prev_impulse = take(J[12:16])
+    if twist_3d:
         # Per-point tangent warmstart (FrictionModel.COULOMB cache layout
         # [4, 2, P]): route by the same point-level feature match.
-        joined_tp = join_pair(prev.warmstart_tangent_impulse)   # [4o, 2, Pn]
+        joined_tp = J[16:16 + n_tan].reshape(4, 2, pn)          # [4o, 2, Pn]
         ws_tan = jnp.einsum("kop,ojp->kjp", ff, joined_tp)      # [4n, 2, Pn]
     else:
         # Manifold-level tangent warmstart (twist friction model stores one
         # tangent pair per manifold).
         mf = matched.astype(jnp.float32)[None]
-        ws_tan = join_pair(prev.warmstart_tangent_impulse) * mf  # [2, Pn]
-    ws_twist = jnp.where(matched, join_pair(prev.warmstart_twist_impulse), 0.0)
-    prev_touching = matched & (join_pair(prev.touching) > 0)
+        ws_tan = J[16:16 + n_tan] * mf                           # [2, Pn]
+    ws_twist = jnp.where(matched, J[16 + n_tan], 0.0)
+    prev_touching = matched & (J[16 + n_tan + 1] > 0)
     # (`still` — old pairs still touching this step, for stopped events —
     # comes from the size-dispatched join above.)
     return ws_normal, ws_tan, ws_twist, prev_impulse, prev_touching, matched, still
@@ -223,11 +238,10 @@ def step(state: SceneState, params: SimParams, hooks=None):
     mins, maxs = shapes.compute_aabbs(
         colliders.shape_type, colliders.shape_params, w_pos, w_rot
     )
-    safe_par = jnp.maximum(colliders.parent, 0)
-    soft_pred = jnp.where(
-        colliders.parent >= 0, bodies.soft_ccd_prediction[safe_par], 0.0
-    )
-    vmag = jnp.linalg.norm(bodies.linvel[safe_par], axis=-1)
+    from rapier_tpu.geometry.dispatch import parent_body_cols
+
+    _, _, _, soft_pred, linvel_c = parent_body_cols(bodies, colliders.parent)
+    vmag = jnp.linalg.norm(linvel_c, axis=-1)
     soft_margin = jnp.minimum(vmag * params.dt, soft_pred)
     margin = (
         colliders.contact_skin[:, None]
@@ -385,12 +399,19 @@ def step(state: SceneState, params: SimParams, hooks=None):
     sent = n
     t1 = jnp.where(edge_dd, eb1, sent)
     t2 = jnp.where(edge_dd, eb2, sent)
-    # Large scenes: the touching dynamic-dynamic edges are a small subset of
-    # the candidate-pair lanes — compact them into the solver-cap width so
-    # the K-hop wake loop (sleep_propagation_iters segment sweeps) works
-    # cap lanes instead of every broad-phase candidate lane.
+    # Large scenes (segment-plan path only): the touching dynamic-dynamic
+    # edges are a small subset of the candidate-pair lanes — compact them
+    # into the solver-cap width so the K-hop wake loop
+    # (sleep_propagation_iters segment sweeps) works cap lanes instead of
+    # every broad-phase candidate lane.  The dense-adjacency path below
+    # scales with N^2, not edge count, so compaction there is pure cost
+    # (~9 ms/step at the 4096-scene bench: a compact + 2 batched takes).
     cap_e = int(getattr(params, "max_solver_pairs", 0) or 0)
-    if 0 < cap_e < t1.shape[0]:
+    dense_wake = (
+        t1.shape[0] * (n + 1) <= _DENSE_ROUTE_ELEMS
+        and n * n <= _DENSE_ROUTE_ELEMS
+    )
+    if 0 < cap_e < t1.shape[0] and not dense_wake:
         from rapier_tpu.utils.compaction import compact_indices as _ci
 
         esrc, evalid, _eovf = _ci(edge_dd, cap_e)
@@ -554,34 +575,44 @@ def step(state: SceneState, params: SimParams, hooks=None):
             # Stream-compact the touching lanes: the O(substeps x colors)
             # sweep then works K = max_solver_pairs lanes instead of every
             # broad-phase candidate lane.  Routing is one [K, P] one-hot
-            # matmul per direction (utils/compaction.py rationale).
-            from rapier_tpu.utils.compaction import compact_indices
+            # matmul per direction, built directly from compaction ranks
+            # (utils/compaction.compact_route — no index takes).
+            from rapier_tpu.utils.compaction import compact_route
 
-            src, kvalid, solver_overflow = compact_indices(sp, cap)
-            route = (
-                (src[:, None] == jnp.arange(p_lanes, dtype=jnp.int32)[None, :])
-                & kvalid[:, None]
-            ).astype(jnp.float32)                               # [K, P]
+            route, kvalid, solver_overflow = compact_route(sp, cap)
 
-            def clane(x):
-                """Lane-last [..., P] float field -> [..., K]."""
-                return jnp.asarray(x, jnp.float32) @ route.T
+            # ONE stacked [rows, P] @ [P, K] matmul for every routed field
+            # (separate matmuls re-read the route matrix each — matmul
+            # count, not FLOPs, dominates at these sizes).
+            def rows2d(x):
+                x = jnp.asarray(x, jnp.float32)
+                return x.reshape(-1, p_lanes)
 
-            def cint(x, fill):
-                v = clane(x).astype(jnp.int32)
-                return jnp.where(kvalid, v, fill)
+            fields = [
+                (b1s, 1), (b2s, 1), (sd1, 1), (sd2, 1),
+                (s_normal, 3), (s_point, 12), (s_pact, 4), (s_dist, 4),
+                (s_fric, 1), (s_rest, 1), (s_prev, 4), (s_wsn, 4),
+                (s_wst, 2), (s_wstw, 1),
+            ]
+            stackedc = jnp.concatenate([rows2d(x) for x, _ in fields], axis=0)
+            R = stackedc @ route.T                              # [rows, K]
+            offs = np.cumsum([0] + [r for _, r in fields])
 
-            b1s = cint(b1s, sent)
-            b2s = cint(b2s, sent)
-            sd1 = clane(sd1) > 0.5
-            sd2 = clane(sd2) > 0.5
+            def seg(i):
+                return R[offs[i]:offs[i + 1]]
+
+            b1s = jnp.where(kvalid, seg(0)[0].astype(jnp.int32), sent)
+            b2s = jnp.where(kvalid, seg(1)[0].astype(jnp.int32), sent)
+            sd1 = seg(2)[0] > 0.5
+            sd2 = seg(3)[0] > 0.5
             sp = kvalid
-            s_normal, s_point, s_pact = (
-                clane(s_normal), clane(s_point), clane(s_pact) > 0.5)
-            s_dist, s_fric, s_rest = (
-                clane(s_dist), clane(s_fric), clane(s_rest))
-            s_prev, s_wsn = clane(s_prev), clane(s_wsn)
-            s_wst, s_wstw = clane(s_wst), clane(s_wstw)
+            s_normal = seg(4)
+            s_point = seg(5).reshape(4, 3, cap)
+            s_pact = seg(6) > 0.5
+            s_dist = seg(7)
+            s_fric, s_rest = seg(8)[0], seg(9)[0]
+            s_prev, s_wsn = seg(10), seg(11)
+            s_wst, s_wstw = seg(12), seg(13)[0]
 
         color, num_colors = color_constraints(
             b1s, b2s, sd1, sd2, sp, n, params.max_colors
@@ -764,12 +795,38 @@ def step(state: SceneState, params: SimParams, hooks=None):
         # caches; overflow surfaces in StepEvents.solver_overflow.
         compact_jax = (not coulomb) and 0 < cap < p_lanes
         if compact_jax:
-            from rapier_tpu.utils.compaction import compact_indices
+            from rapier_tpu.utils.compaction import (
+                compact_indices, compact_route,
+            )
 
-            src, kvalid, solver_overflow = compact_indices(solver_pair, cap)
+            if p_lanes * cap <= 1 << 20:
+                # Route fields with matmuls (batched takes cost ~25 ms/step
+                # at the 4096-scene bench).  Exact int32 fields ride 16-bit
+                # halves (f32 only carries 2^24 of integer precision; mesh
+                # pair keys exceed it).
+                route_m, kvalid, solver_overflow = compact_route(
+                    solver_pair, cap)
+                src = None
 
-            def _cl(x):
-                return jnp.take(x, src, axis=-1)
+                def _cl(x):
+                    if jnp.issubdtype(x.dtype, jnp.integer):
+                        lo = (x & 0xFFFF).astype(jnp.float32) @ route_m.T
+                        hi = (x >> 16).astype(jnp.float32) @ route_m.T
+                        return (
+                            (hi.astype(jnp.int32) << 16)
+                            | lo.astype(jnp.int32)
+                        ).astype(x.dtype)
+                    if x.dtype == jnp.bool_:
+                        return (x.astype(jnp.float32) @ route_m.T) > 0.5
+                    return (
+                        x.astype(jnp.float32).reshape(-1, p_lanes) @ route_m.T
+                    ).reshape(x.shape[:-1] + (cap,)).astype(x.dtype)
+            else:
+                src, kvalid, solver_overflow = compact_indices(
+                    solver_pair, cap)
+
+                def _cl(x):
+                    return jnp.take(x, src, axis=-1)
 
             man_s = man._replace(**{
                 f: _cl(getattr(man, f))
@@ -833,15 +890,29 @@ def step(state: SceneState, params: SimParams, hooks=None):
             joints = joints.replace(impulses=joint_rows.impulse)
         if compact_jax:
             # Scatter the K-lane impulses back to full width; lanes the
-            # solve never saw keep their matched warmstart caches.  Invalid
-            # compaction slots write to a dropped sentinel column so the
-            # scatter has unique indices (deterministic).
-            src_s = jnp.where(kvalid, src, p_lanes)
+            # solve never saw keep their matched warmstart caches.
+            if src is None:
+                # Route-matrix mode: slots are unique, so one matmul places
+                # the values and `covered` selects against the defaults.
+                covered = jnp.sum(route_m, axis=0) > 0.0      # [P]
 
-            def _expand(xk, default):
-                pad = jnp.zeros(default.shape[:-1] + (1,), default.dtype)
-                full = jnp.concatenate([default, pad], axis=-1)
-                return full.at[..., src_s].set(xk)[..., :p_lanes]
+                def _expand(xk, default):
+                    placed = (
+                        xk.astype(jnp.float32).reshape(-1, cap) @ route_m
+                    ).reshape(default.shape)
+                    return jnp.where(
+                        jnp.broadcast_to(covered, default.shape),
+                        placed.astype(default.dtype), default)
+            else:
+                # Index mode (large scenes): invalid compaction slots write
+                # to a dropped sentinel column so the scatter has unique
+                # indices (deterministic).
+                src_s = jnp.where(kvalid, src, p_lanes)
+
+                def _expand(xk, default):
+                    pad = jnp.zeros(default.shape[:-1] + (1,), default.dtype)
+                    full = jnp.concatenate([default, pad], axis=-1)
+                    return full.at[..., src_s].set(xk)[..., :p_lanes]
 
             z4 = jnp.zeros((4, p_lanes))
             constraints = _SolvedImpulses(

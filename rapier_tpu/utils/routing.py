@@ -39,6 +39,26 @@ DENSE_JOIN_ELEMS = 2**26
 _BLK = 128
 
 
+def route_rows(rows, idx, n: int):
+    """Gather columns of a component-leading table: rows [..., N] indexed by
+    idx [K] -> [..., K].
+
+    Size-dispatched: a [K, N] one-hot matmul at small sizes (batched
+    computed-index gathers cost ~2.9 ms per [B, C]-sized take at the
+    4096-scene bench vs 0.03 ms for the matmul —
+    tools/microbench_vmap_routing.py), plain take above the dense limit
+    (large single scenes, where the take is un-vmapped and the one-hot
+    would be O(K*N) memory)."""
+    k = idx.shape[0]
+    if k * n <= DENSE_ROUTE_ELEMS:
+        oh = (idx[:, None] == jnp.arange(n)[None, :]).astype(rows.dtype
+              if jnp.issubdtype(rows.dtype, jnp.floating) else jnp.float32)
+        out = rows.astype(oh.dtype) @ oh.T
+        return out.astype(rows.dtype) if not jnp.issubdtype(
+            rows.dtype, jnp.floating) else out
+    return jnp.take(rows, idx, axis=-1)
+
+
 def searchsorted_blocked(sorted_vals, queries, side: str = "left"):
     """Two-level searchsorted: XLA lowers jnp.searchsorted to a binary search
     of computed-index gathers (~14 ns/element on TPU — 32 ms/step of the

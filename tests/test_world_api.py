@@ -75,3 +75,43 @@ def test_snapshot_file_roundtrip(settled):
         # Deterministic resume: same steps give the same trajectory.
         w.step(30)
         np.testing.assert_array_equal(w.body_translation(b), moved)
+
+
+def test_snapshot_mismatched_world_rejected(settled):
+    """Restoring into a world with different capacities/structure raises
+    instead of silently filling wrong fields (reference deserializes into
+    typed sets, so a structural mismatch is impossible there)."""
+    import pytest
+
+    from rapier_tpu.world import ColliderBuilder, PhysicsWorld, RigidBodyBuilder
+
+    w, _b = settled
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "snap.npz")
+        w.save_snapshot(path)
+
+        other = PhysicsWorld(body_capacity=64, collider_capacity=64)
+        g = other.insert_body(RigidBodyBuilder.fixed())
+        other.insert_collider(ColliderBuilder.cuboid(1, 1, 1), g)
+        other.build()
+        with pytest.raises(ValueError):
+            other.load_snapshot(path)
+
+
+def test_additional_solver_iterations_folded():
+    """Per-body additional_solver_iterations raises the scene's substep
+    count (reference rigid_body.rs builder + island.rs:8-12 max-fold; the
+    batched solve folds over ALL bodies — documented superset)."""
+    from rapier_tpu.world import ColliderBuilder, PhysicsWorld, RigidBodyBuilder
+
+    w = PhysicsWorld()
+    g = w.insert_body(RigidBodyBuilder.fixed())
+    w.insert_collider(ColliderBuilder.cuboid(10, 1, 10), g)
+    b = w.insert_body(
+        RigidBodyBuilder.dynamic().with_translation((0, 2, 0))
+        .with_additional_solver_iterations(4)
+    )
+    w.insert_collider(ColliderBuilder.ball(0.5), b)
+    base_iters = w.params.num_solver_iterations
+    w.build()
+    assert w.params.num_solver_iterations == base_iters + 4
