@@ -45,9 +45,18 @@ def effective_world_inv_inertia(bodies, active):
     and columns zeroed (reference effective_world_inv_inertia)."""
     rot_world = quat.mul(bodies.rot, bodies.principal_frame)
     m = quat.to_matrix(rot_world)
-    ii = jnp.einsum(
-        "nij,nj,nkj->nik", m, bodies.inv_principal_inertia, m
-    )
+    # ii = m @ diag(inv_I) @ m^T, unrolled: a 3-wide einsum contraction
+    # lowers to micro batched matmuls on TPU (~6 ms/step at the 4096-scene
+    # bench); the scaled product fuses into neighboring elementwise work.
+    md = m * bodies.inv_principal_inertia[:, None, :]       # [N, 3, 3]
+    ii = jnp.stack([
+        jnp.stack([
+            md[:, i, 0] * m[:, k, 0] + md[:, i, 1] * m[:, k, 1]
+            + md[:, i, 2] * m[:, k, 2]
+            for k in range(3)
+        ], axis=-1)
+        for i in range(3)
+    ], axis=-2)                                             # [N, 3, 3]
     locks = bodies.locked_axes[:, None]
     axis_bits = jnp.array(
         [LOCK_ROTATION_X, LOCK_ROTATION_X << 1, LOCK_ROTATION_X << 2]
@@ -119,7 +128,12 @@ def velocity_increments(bodies, sb: cc.SolverBodies, active, params, dt_sub):
     unlocked = (im > 0).astype(jnp.float32)
     grav = params.gravity[None, :] * bodies.gravity_scale[:, None] * unlocked
     dv = (grav + bodies.force * im) * dt_sub
-    dw = jnp.einsum("ijn,nj->ni", sb.ii[:, :, :-1], bodies.torque) * dt_sub
+    iiv = sb.ii[:, :, :-1]                                   # [3, 3, N]
+    tq = bodies.torque                                       # [N, 3]
+    dw = jnp.stack([
+        iiv[i, 0] * tq[:, 0] + iiv[i, 1] * tq[:, 1] + iiv[i, 2] * tq[:, 2]
+        for i in range(3)
+    ], axis=-1) * dt_sub
     dv = jnp.where(dyn[:, None], dv, 0.0)
     dw = jnp.where(dyn[:, None], dw, 0.0)
     pad = jnp.zeros((1, 3))

@@ -395,7 +395,7 @@ def convex_halfspace(pA, rA, stA, prmA, pB, rB, prmB, hullA=None) -> Manifold:
         return quat.transform_point(pA, rA, s_l), s_l
 
     sw, sl = jax.vmap(support_w)(dirs_w)
-    depth = jnp.einsum("kj,j->k", sw - plane_p, n_w) - border  # signed dist to plane
+    depth = jnp.sum((sw - plane_p) * n_w[None], axis=-1) - border  # signed dist to plane
     # Feature id: quantized local support point (stable across steps).
     qs = jnp.round(sl * 1024.0).astype(jnp.int32)
     fid = (qs[:, 0] * 73856093) ^ (qs[:, 1] * 19349663) ^ (qs[:, 2] * 83492791)

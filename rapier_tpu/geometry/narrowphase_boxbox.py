@@ -186,6 +186,55 @@ def _closest_segment_segment_cl(p1, q1, p2, q2):
     return s, t_cl, c1, c2
 
 
+# ---------------------------------------------------------------------------
+# Unrolled tiny-contraction helpers.  jnp.einsum with a 3-wide contraction
+# lowers to micro batched matmuls on TPU (measured ~16 ms/step EACH at the
+# 4096-scene bench for the [3,3,P] forms); unrolled multiply-adds fuse into
+# neighboring elementwise work instead.
+# ---------------------------------------------------------------------------
+
+
+def _m3v(m, v):
+    """m [3, 3, P] @ v [3, P] -> [3, P]."""
+    return jnp.stack([
+        m[0, 0] * v[0] + m[0, 1] * v[1] + m[0, 2] * v[2],
+        m[1, 0] * v[0] + m[1, 1] * v[1] + m[1, 2] * v[2],
+        m[2, 0] * v[0] + m[2, 1] * v[1] + m[2, 2] * v[2],
+    ])
+
+
+def _m3tv(m, v):
+    """m^T [3, 3, P] @ v [3, P] -> [3, P]."""
+    return jnp.stack([
+        m[0, 0] * v[0] + m[1, 0] * v[1] + m[2, 0] * v[2],
+        m[0, 1] * v[0] + m[1, 1] * v[1] + m[2, 1] * v[2],
+        m[0, 2] * v[0] + m[1, 2] * v[1] + m[2, 2] * v[2],
+    ])
+
+
+def _m3t_m3(a, b):
+    """a^T b for a, b [3, 3, P] -> [3, 3, P] (R = A^T B)."""
+    return jnp.stack([
+        jnp.stack([
+            a[0, i] * b[0, j] + a[1, i] * b[1, j] + a[2, i] * b[2, j]
+            for j in range(3)
+        ])
+        for i in range(3)
+    ])
+
+
+def _m3_corners(m, cv):
+    """m [3, 3, P] applied to each corner of cv [4, 3, P] -> [4, 3, P]."""
+    return jnp.stack([_m3v(m, cv[c]) for c in range(4)])
+
+
+def _corners_dot(cv, w):
+    """Per-corner dot: cv [4, 3, P] . w [3, P] -> [4, P]."""
+    return (
+        cv[:, 0] * w[0][None] + cv[:, 1] * w[1][None] + cv[:, 2] * w[2][None]
+    )
+
+
 def _face_candidates_cl(verts_uvd, hu, hv):
     """_face_candidates, lane-last: verts_uvd [4, 3, P], hu/hv [P] ->
     (pts [12, 3, P], valid [12, P])."""
@@ -310,14 +359,14 @@ def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
 
     # R = A^T B, t = A^T (pB - pA); everything [3, 3, P] / [3, P].
     dp = pB - pA
-    R = jnp.einsum("kip,kjp->ijp", mA, mB)
-    t = jnp.einsum("kip,kp->ip", mA, dp)
+    R = _m3t_m3(mA, mB)
+    t = _m3tv(mA, dp)
     absR = jnp.abs(R) + 1e-6
 
     # Face axes.
-    sep_a = jnp.abs(t) - (hA + jnp.einsum("ijp,jp->ip", absR, hB))   # [3, P]
-    tb_ = jnp.einsum("ip,ijp->jp", t, R)
-    sep_b = jnp.abs(tb_) - (jnp.einsum("ip,ijp->jp", hA, absR) + hB)
+    sep_a = jnp.abs(t) - (hA + _m3v(absR, hB))   # [3, P]
+    tb_ = _m3tv(R, t)
+    sep_b = jnp.abs(tb_) - (_m3tv(absR, hA) + hB)
     best_a = jnp.argmax(sep_a, axis=0)               # [P]
     best_b = jnp.argmax(sep_b, axis=0)
     sep_a_best = jnp.max(sep_a, axis=0)
@@ -355,7 +404,7 @@ def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     h_inc = jnp.where(ub, hA, hB)
     RT = jnp.transpose(R, (1, 0, 2))
     R_ri = jnp.where(ub[None], RT, R)                # [3, 3, P]
-    t_b = -jnp.einsum("ip,ijp->jp", t, R)            # -(R^T t)
+    t_b = -_m3tv(R, t)                               # -(R^T t)
     t_ri = jnp.where(ub, t_b, t)
     axis = jnp.where(use_b_face, best_b, best_a)     # [P]
 
@@ -366,7 +415,7 @@ def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     n_ref = one_hot * sgn[None]                      # [3, P]
 
     # Incident face: incident axis most anti-parallel to n_ref.
-    d_inc = jnp.einsum("ip,ijp->jp", n_ref, R_ri)    # [3, P]
+    d_inc = _m3tv(R_ri, n_ref)                       # [3, P]
     inc_axis = jnp.argmax(jnp.abs(d_inc), axis=0)
     inc_oh = (ax_iota == inc_axis[None, :]).astype(jnp.float32)
     d_sel = inc_oh[0] * d_inc[0] + inc_oh[1] * d_inc[1] + inc_oh[2] * d_inc[2]
@@ -388,7 +437,7 @@ def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
         center_l + eu * hu_i[None] - ev * hv_i[None],
     ])                                               # [4, 3, P]
     corners_r = (
-        jnp.einsum("ijp,cjp->cip", R_ri, corners_l) + t_ri[None]
+        _m3_corners(R_ri, corners_l) + t_ri[None]
     )                                                # [4, 3, P] ref frame
 
     ru = (axis + 1) % 3
@@ -396,9 +445,9 @@ def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     pick_u = (ax_iota == ru[None, :]).astype(jnp.float32)          # [3, P]
     pick_v = (ax_iota == rv[None, :]).astype(jnp.float32)
     h_face = one_hot[0] * h_ref[0] + one_hot[1] * h_ref[1] + one_hot[2] * h_ref[2]
-    u = jnp.einsum("cip,ip->cp", corners_r, pick_u)  # [4, P]
-    v = jnp.einsum("cip,ip->cp", corners_r, pick_v)
-    depth = jnp.einsum("cip,ip->cp", corners_r, n_ref) - h_face[None]
+    u = _corners_dot(corners_r, pick_u)              # [4, P]
+    v = _corners_dot(corners_r, pick_v)
+    depth = _corners_dot(corners_r, n_ref) - h_face[None]
     verts_uvd = jnp.stack([u, v, depth], axis=1)     # [4, 3, P]
 
     hu_r = pick_u[0] * h_ref[0] + pick_u[1] * h_ref[1] + pick_u[2] * h_ref[2]
@@ -416,10 +465,10 @@ def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
 
     m_ref = jnp.where(ub[None], mB, mA)              # [3, 3, P]
     p_ref = jnp.where(ub, pB, pA)
-    n_w_ref = jnp.einsum("ijp,jp->ip", m_ref, n_ref)
+    n_w_ref = _m3v(m_ref, n_ref)
     n_face = jnp.where(ub, -n_w_ref, n_w_ref)
     mid_face = (
-        jnp.einsum("ijp,cjp->cip", m_ref, mid_ref) + p_ref[None]
+        _m3_corners(m_ref, mid_ref) + p_ref[None]
     )                                                # [4, 3, P]
 
     # Quadrant feature ids around the manifold centroid.
@@ -434,8 +483,8 @@ def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     nkeep = jnp.maximum(keep_f[0] + keep_f[1] + keep_f[2] + keep_f[3], 1.0)
     centroid = jnp.sum(mid_face * keep_f[:, None, :], axis=0) / nkeep[None]
     rel_c = mid_face - centroid[None]                # [4, 3, P]
-    du_f = jnp.einsum("cip,ip->cp", rel_c, t1f)      # [4, P]
-    dv_f = jnp.einsum("cip,ip->cp", rel_c, t2f)
+    du_f = _corners_dot(rel_c, t1f)                  # [4, P]
+    dv_f = _corners_dot(rel_c, t2f)
     fid_face = (
         (du_f > 0).astype(jnp.int32)
         + 2 * (dv_f > 0).astype(jnp.int32)
@@ -465,20 +514,20 @@ def cuboid_cuboid_cl(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     edgeA_a = cornerA - onehot_i * hA
     edgeA_b = cornerA + onehot_i * hA
 
-    L_b = jnp.einsum("ip,ijp->jp", L, R)             # R^T L
+    L_b = _m3tv(R, L)                                # R^T L
     sgnB = jnp.sign(jnp.where(jnp.abs(L_b) < 1e-12, 1.0, -L_b))
     onehot_j = (ax_iota == ej[None, :]).astype(jnp.float32)
     cornerB_l = sgnB * hB * (1.0 - onehot_j)
     edgeB_a_l = cornerB_l - onehot_j * hB
     edgeB_b_l = cornerB_l + onehot_j * hB
-    edgeB_a = jnp.einsum("ijp,jp->ip", R, edgeB_a_l) + t
-    edgeB_b = jnp.einsum("ijp,jp->ip", R, edgeB_b_l) + t
+    edgeB_a = _m3v(R, edgeB_a_l) + t
+    edgeB_b = _m3v(R, edgeB_b_l) + t
 
     _, _, cA_f, cB_f = _closest_segment_segment_cl(
         edgeA_a, edgeA_b, edgeB_a, edgeB_b)
     mid_edge_a = 0.5 * (cA_f + cB_f)
-    n_edge_w = jnp.einsum("ijp,jp->ip", mA, L)
-    mid_edge_w = jnp.einsum("ijp,jp->ip", mA, mid_edge_a) + pA
+    n_edge_w = _m3v(mA, L)
+    mid_edge_w = _m3v(mA, mid_edge_a) + pA
     fid_edge = jnp.int32(1 << 28) + best_e.astype(jnp.int32)       # [P]
 
     # ===== Select =====

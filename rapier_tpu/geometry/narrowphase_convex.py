@@ -81,7 +81,7 @@ def support_gap(pA, rA, stA, prmA, pB, rB, stB, prmB,
     cand = cand / jnp.maximum(norms, 1e-9)
     degenerate = norms[:, 0] < 1e-6
     # Orient from A towards B.
-    sgn = jnp.where(jnp.einsum("kj,j->k", cand, center) >= 0, 1.0, -1.0)
+    sgn = jnp.where(jnp.sum(cand * center[None], axis=-1) >= 0, 1.0, -1.0)
     cand = cand * sgn[:, None]
 
     def gap(a):
@@ -143,8 +143,8 @@ def convex_convex(pA, rA, stA, prmA, pB, rB, stB, prmB,
     pts = jnp.where(use_a, sa4, sb4)
     local = jnp.where(use_a, la4, lb4)
     # Depth along n: from the point to the other side's tangent plane.
-    depth_a_side = jnp.einsum("kj,j->k", sa4 - plane_b[None], n)
-    depth_b_side = jnp.einsum("kj,j->k", plane_a[None] - sb4, n)
+    depth_a_side = jnp.sum((sa4 - plane_b[None]) * n[None], axis=-1)
+    depth_b_side = jnp.sum((plane_a[None] - sb4) * n[None], axis=-1)
     depths = jnp.where(use_a, depth_a_side, depth_b_side)
     mids = pts - jnp.where(use_a, 0.5, -0.5) * depths[:, None] * n[None]
 

@@ -36,6 +36,17 @@ from rapier_tpu.types import ShapeType
 BIG = 1.0e10
 
 
+def _absm_vec(abs_m, v):
+    """|R| @ v unrolled ([C,3,3] x [C,3] -> [C,3]): a 3-wide einsum
+    contraction lowers to micro batched matmuls on TPU; the unroll fuses."""
+    import jax.numpy as jnp
+    return jnp.stack([
+        abs_m[:, i, 0] * v[:, 0] + abs_m[:, i, 1] * v[:, 1]
+        + abs_m[:, i, 2] * v[:, 2]
+        for i in range(3)
+    ], axis=-1)
+
+
 def compute_aabbs(shape_type, shape_params, pos, rot):
     """Conservative world AABBs for a batch of shapes.
 
@@ -53,7 +64,7 @@ def compute_aabbs(shape_type, shape_params, pos, rot):
     # Cuboid: half-extent of the rotated box = |R| @ h.
     m = quat.to_matrix(rot)                     # [C,3,3]
     abs_m = jnp.abs(m)
-    he_cuboid = jnp.einsum("cij,cj->ci", abs_m, p[:, 0:3])
+    he_cuboid = _absm_vec(abs_m, p[:, 0:3])
     he_round_cuboid = he_cuboid + p[:, 3:4]
 
     # Capsule / segment: hull of two spheres at world endpoints.
@@ -84,7 +95,7 @@ def compute_aabbs(shape_type, shape_params, pos, rot):
     # params[2:8] (min, max); re-boxed under rotation.
     mesh_c_l = 0.5 * (p[:, 2:5] + p[:, 5:8])
     mesh_he_l = 0.5 * (p[:, 5:8] - p[:, 2:5])
-    he_mesh = jnp.einsum("cij,cj->ci", abs_m, mesh_he_l)
+    he_mesh = _absm_vec(abs_m, mesh_he_l)
     mesh_center = quat.rotate(rot, mesh_c_l)
 
     st = shape_type[:, None]

@@ -98,20 +98,55 @@ class ColliderBuilder2D:
         return ColliderBuilder.segment((a[0], a[1], 0.0), (b[0], b[1], 0.0))
 
     @staticmethod
+    def convex_hull(points) -> ColliderBuilder:
+        """2D convex polygon (reference ColliderBuilder::convex_hull, dim2):
+        extruded to a 3D hull for collision; mass properties use the true
+        polygon formulas (see _mass_props_2d)."""
+        pts = [(float(x), float(y)) for x, y in points]
+        pts3 = [(x, y, -_DEPTH) for x, y in pts] + [
+            (x, y, _DEPTH) for x, y in pts
+        ]
+        cb = ColliderBuilder.convex_hull(pts3)
+        cb._shape2d = ("polygon", tuple(pts))
+        return cb
+
+    @staticmethod
     def halfspace(normal) -> ColliderBuilder:
         return ColliderBuilder.halfspace((normal[0], normal[1], 0.0))
 
 
 def _mass_props_2d(kind: str, args, density: float):
-    """(mass, I_z about own center) with AREA density (rapier2d semantics)."""
+    """(mass, I_z about own center[, centroid offset]) with AREA density
+    (rapier2d semantics).  Returns (m, I, (cx, cy)) — the centroid offset is
+    (0, 0) for center-symmetric shapes and the polygon centroid for
+    convex_hull (its vertices are collider-local, not centered)."""
+    if kind == "polygon":
+        pts = np.asarray(args, float)
+        # CCW order around the vertex mean (input is a convex vertex set).
+        c0 = pts.mean(axis=0)
+        order = np.argsort(np.arctan2(pts[:, 1] - c0[1], pts[:, 0] - c0[0]))
+        pts = pts[order]
+        x, y = pts[:, 0], pts[:, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        cr = x * y2 - x2 * y
+        area2 = np.sum(cr)                   # 2A, > 0 for CCW
+        a = 0.5 * area2
+        cx = np.sum((x + x2) * cr) / (3.0 * area2)
+        cy = np.sum((y + y2) * cr) / (3.0 * area2)
+        i_origin = density * np.sum(
+            cr * (x * x + x * x2 + x2 * x2 + y * y + y * y2 + y2 * y2)
+        ) / 12.0
+        m = density * a
+        i_c = i_origin - m * (cx * cx + cy * cy)
+        return m, i_c, (cx, cy)
     if kind == "ball":
         (r,) = args
         m = np.pi * r * r * density
-        return m, 0.5 * m * r * r
+        return m, 0.5 * m * r * r, (0.0, 0.0)
     if kind == "cuboid":
         hx, hy = args
         m = 4.0 * hx * hy * density
-        return m, m * (hx * hx + hy * hy) / 3.0
+        return m, m * (hx * hx + hy * hy) / 3.0, (0.0, 0.0)
     if kind == "capsule":
         hh, r, _axis = args
         m_rect = 4.0 * hh * r * density
@@ -121,7 +156,7 @@ def _mass_props_2d(kind: str, args, density: float):
         # half-disc centroid offset).
         i_rect = m_rect * (hh * hh + r * r) / 3.0
         i_disc = 0.5 * m_disc * r * r + m_disc * hh * hh
-        return m_rect + m_disc, i_rect + i_disc
+        return m_rect + m_disc, i_rect + i_disc, (0.0, 0.0)
     raise KeyError(kind)
 
 
@@ -167,8 +202,8 @@ class PhysicsWorld2D(PhysicsWorld):
             cx = cy = 0.0
             props = []
             for tag, cb in parts:
-                m, i_own = _mass_props_2d(tag[0], tag[1], cb.density)
-                off = np.asarray(cb.translation[:2], float)
+                m, i_own, c_off = _mass_props_2d(tag[0], tag[1], cb.density)
+                off = np.asarray(cb.translation[:2], float) + np.asarray(c_off)
                 props.append((m, i_own, off))
                 m_tot += m
                 cx += m * off[0]
