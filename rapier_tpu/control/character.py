@@ -43,6 +43,7 @@ class CharacterMovement(NamedTuple):
     translation: jax.Array  # [3] effective movement
     grounded: jax.Array     # bool
     hit_obstacle: jax.Array # bool — any cast hit during the solve
+    remaining: jax.Array = None  # [3] blocked translation (for push impulses)
 
 
 def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
@@ -178,5 +179,124 @@ def move_shape(bodies, colliders, shape_type, shape_params, pos, rot,
     grounded = grounded | can_snap
 
     return CharacterMovement(
-        translation=total, grounded=grounded, hit_obstacle=any_hit
+        translation=total, grounded=grounded, hit_obstacle=any_hit,
+        remaining=desired - total,
+    )
+
+
+def solve_character_collision_impulses(
+    bodies, colliders, shape_type, shape_params, pos, rot,
+    translation_remaining, dt, character_mass,
+    options: CharacterControllerOptions = CharacterControllerOptions(),
+    exclude_collider: int = -1, exclude_body: int = -1,
+    hulls=None, shape_hull=None,
+):
+    """Push dynamic bodies the character collided with.
+
+    Port of KinematicCharacterController::solve_character_collision_impulses
+    (reference src/control/character_controller.rs:840-933): for every
+    dynamic collider within the contact prediction of the character's final
+    pose, transfer the blocked movement as a velocity along the contact
+    normal, weighted by the reduced mass m_b*m_c/(m_b+m_c), applied at the
+    closest point (the reference applies per-manifold-point impulses; one
+    exact-GJK closest point per collider is the batched recast — same
+    total impulse, approximate torque arm, both documented "approximate").
+
+    Returns an updated `bodies` (linvel/angvel deltas applied); the caller
+    writes it back into the world (PhysicsWorld.move_character does).
+    """
+    import jax.numpy as jnp
+
+    from rapier_tpu.geometry import gjk as _gjk
+    from rapier_tpu.geometry.dispatch import collider_world_poses
+    from rapier_tpu.geometry.queries import (
+        EXCLUDE_FIXED, EXCLUDE_KINEMATIC, EXCLUDE_SENSORS,
+        _as_device, _filter_mask, _hull_table,
+    )
+    from rapier_tpu.types import BodyType
+
+    bodies = _as_device(bodies)
+    colliders = _as_device(colliders)
+    hulls = _as_device(hulls)
+    shape_hull = _as_device(shape_hull)
+    pos = jnp.asarray(pos, jnp.float32)
+    rot = jnp.asarray(rot, jnp.float32)
+    rem = jnp.asarray(translation_remaining, jnp.float32)
+    st = jnp.int32(shape_type)
+    prm = jnp.asarray(shape_params, jnp.float32)
+
+    w_pos, w_rot = collider_world_poses(bodies, colliders)
+    ok = _filter_mask(
+        colliders, bodies.body_type,
+        EXCLUDE_FIXED | EXCLUDE_KINEMATIC | EXCLUDE_SENSORS,
+        exclude_collider, exclude_body,
+    )
+    hv_table = _hull_table(colliders, hulls)
+    c = colliders.parent.shape[0]
+    prediction = options.offset * 3.0
+
+    def per_collider(cidx, valid):
+        tB = colliders.shape_type[cidx]
+        prmB = colliders.shape_params[cidx]
+        hvB = None if hv_table is None else hv_table[cidx]
+        supp = _gjk.make_support(
+            pos, rot, st, prm, w_pos[cidx], w_rot[cidx], tB, prmB,
+            hullA=shape_hull, hullB=hvB,
+        )
+        d0 = w_pos[cidx] - pos
+        d0 = jnp.where(jnp.linalg.norm(d0) < 1e-9,
+                       jnp.array([0.0, 1.0, 0.0]), d0)
+        g = _gjk.gjk(supp, d0)
+        b = _gjk._border_radius(st, prm) + _gjk._border_radius(tB, prmB)
+        gap = jnp.where(g["intersect"], 0.0, g["dist"] - b)
+        # Normal: character -> obstacle; contact point on the obstacle side.
+        n = g["normal"]
+        point = g["cpB"] - n * _gjk._border_radius(tB, prmB)
+        touching = valid & (gap <= prediction)
+        return touching, n, point
+
+    touching, n_c, p_c = jax.vmap(per_collider)(jnp.arange(c), ok)
+
+    parent = jnp.maximum(colliders.parent, 0)
+    dyn = (bodies.body_type[parent] == BodyType.DYNAMIC) & (
+        colliders.parent >= 0)
+    push = touching & dyn
+
+    # Velocity to transfer along each contact normal (reference :874+911).
+    inv_dt = jnp.where(dt == 0, 0.0, 1.0 / jnp.asarray(dt, jnp.float32))
+    v_transfer = (n_c @ rem) * inv_dt                       # [C] along n
+
+    # Body velocity at the contact point.
+    from rapier_tpu.math import quat as _q
+
+    com_w = bodies.pos + _q.rotate(bodies.rot, bodies.local_com)
+    arm = p_c - com_w[parent]
+    v_at = bodies.linvel[parent] + jnp.cross(bodies.angvel[parent], arm)
+    delta = v_transfer - jnp.sum(v_at * n_c, axis=-1)       # [C]
+
+    m_body = jnp.where(
+        bodies.inv_mass[parent] > 0, 1.0 / jnp.maximum(
+            bodies.inv_mass[parent], 1e-12), 0.0)
+    m_char = jnp.asarray(character_mass, jnp.float32)
+    mass_ratio = m_body * m_char / jnp.maximum(m_body + m_char, 1e-9)
+    imp = n_c * (jnp.maximum(delta, 0.0) * mass_ratio * push)[:, None]
+
+    # Apply at point: dv = im * imp; dw = I_w^-1 (arm x imp).
+    from rapier_tpu.dynamics.solver.velocity_solver import (
+        effective_world_inv_inertia,
+    )
+
+    ii = effective_world_inv_inertia(bodies, jnp.ones((bodies.n,), bool))
+    dv = jnp.zeros_like(bodies.linvel).at[parent].add(
+        imp * bodies.inv_mass[parent][:, None])
+    torque = jnp.cross(arm, imp)
+    dw_body = jnp.zeros_like(bodies.angvel).at[parent].add(torque)
+    dw = jnp.einsum("nij,nj->ni", ii, dw_body)
+    # Pushed bodies wake up (reference apply_impulse_at_point wakes).
+    woke = jnp.zeros((bodies.n,), bool).at[parent].max(push)
+    return bodies.replace(
+        linvel=bodies.linvel + dv,
+        angvel=bodies.angvel + dw,
+        sleeping=bodies.sleeping & ~woke,
+        sleep_timer=jnp.where(woke, 0.0, bodies.sleep_timer),
     )

@@ -57,9 +57,14 @@ _SUBSETS = (
     + [(0, 1, 2, 3)]
 )
 _NSUB = len(_SUBSETS)
-_SUB_ORDER = jnp.array([list(s) + [0] * (4 - len(s)) for s in _SUBSETS],
-                       jnp.int32)                      # [15, 4]
-_SUB_SIZE = jnp.array([len(s) for s in _SUBSETS], jnp.int32)   # [15]
+# NUMPY constants, deliberately: module-scope jnp arrays become leaked
+# tracers when the module is first imported inside a jit trace (jnp ops on
+# numpy constants convert on use, trace-safely).
+import numpy as _np
+
+_SUB_ORDER = _np.array([list(s) + [0] * (4 - len(s)) for s in _SUBSETS],
+                       _np.int32)                      # [15, 4]
+_SUB_SIZE = _np.array([len(s) for s in _SUBSETS], _np.int32)   # [15]
 
 
 def _closest_on_simplex(W, nvalid):
@@ -162,8 +167,8 @@ def gjk(supp, d0):
         # No-progress bound: every point of A-B is at least (x.w/|x|) away.
         conv = (d2 - jnp.dot(x, w)) <= _TOL * jnp.sqrt(jnp.maximum(d2, _EPS))
         # Re-pack the winning subset into leading slots, append w.
-        order = _SUB_ORDER[win]
-        size = _SUB_SIZE[win]
+        order = jnp.asarray(_SUB_ORDER)[win]
+        size = jnp.asarray(_SUB_SIZE)[win]
         idx = jnp.arange(4)
         keep = (idx < size)[:, None]
         Wn = jnp.where(keep, W[order], w[None])

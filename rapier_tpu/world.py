@@ -1806,6 +1806,46 @@ class PhysicsWorld:
             meshes=self.state.meshes, hulls=self.state.hulls, **kw,
         )
 
+    def move_character(self, shape_type, shape_params, pos, rot,
+                       desired_translation, options=None,
+                       character_mass: float = 0.0, dt: float = None,
+                       apply_impulses: bool = None, **kw):
+        """Kinematic character move + optional dynamic-body push impulses
+        (reference KinematicCharacterController::move_shape +
+        solve_character_collision_impulses, character_controller.rs:267,840).
+
+        With character_mass > 0 (default: apply_impulses inferred), bodies
+        the character was blocked by receive mass-weighted impulses along
+        the contact normals and the updated velocities land in the world
+        state immediately.  Returns the CharacterMovement."""
+        from rapier_tpu.control.character import (
+            CharacterControllerOptions, move_shape,
+            solve_character_collision_impulses,
+        )
+
+        opts = options or CharacterControllerOptions()
+        prm = jnp.asarray(_pad_params(shape_params))
+        mv = move_shape(
+            self.state.bodies, self.state.colliders, int(shape_type), prm,
+            jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
+            jnp.asarray(desired_translation, jnp.float32), opts,
+            meshes=self.state.meshes, hulls=self.state.hulls, **kw,
+        )
+        if apply_impulses is None:
+            apply_impulses = character_mass > 0.0
+        if apply_impulses:
+            new_bodies = solve_character_collision_impulses(
+                self.state.bodies, self.state.colliders, int(shape_type),
+                prm, jnp.asarray(pos, jnp.float32) + mv.translation,
+                jnp.asarray(rot, jnp.float32), mv.remaining,
+                dt if dt is not None else self.params.dt,
+                character_mass, opts, hulls=self.state.hulls,
+                **{k: v for k, v in kw.items()
+                   if k in ("exclude_collider", "exclude_body")},
+            )
+            self.state = self.state.replace(bodies=new_bodies)
+        return mv
+
     def intersections_with_shape(self, shape_type, shape_params, pos, rot,
                                  **kw) -> np.ndarray:
         """Collider indices intersecting a placed convex shape

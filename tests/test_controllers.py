@@ -223,3 +223,48 @@ def test_vehicle_holds_curve():
     # Curved path: significant lateral displacement relative to forward travel.
     assert abs(p[0]) > 0.8, f"vehicle did not turn: {p}"
     assert 0.2 < p[1] < 1.0
+
+
+def test_character_pushes_dynamic_box():
+    """Character push impulses (reference character_controller.rs:840
+    solve_character_collision_impulses): walking into a dynamic box
+    transfers momentum along the contact normal, shoving it forward; a
+    massless character (impulses off) leaves it asleep-still."""
+    from rapier_tpu.world import ColliderBuilder, PhysicsWorld, RigidBodyBuilder
+    from rapier_tpu.types import ShapeType
+
+    def build():
+        w = PhysicsWorld()
+        g = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, -1, 0)))
+        w.insert_collider(ColliderBuilder.cuboid(20, 1, 20).with_friction(0.1), g)
+        box = w.insert_body(
+            RigidBodyBuilder.dynamic().with_translation((1.0, 0.4, 0.0)))
+        w.insert_collider(
+            ColliderBuilder.cuboid(0.4, 0.4, 0.4).with_friction(0.1), box)
+        w.build()
+        return w, box
+
+    cap = [0.0, -0.4, 0.0, 0.0, 0.4, 0.0, 0.3]
+
+    # Push: character at x=0 walks +x into the box with 80 kg behind it.
+    w, box = build()
+    v0 = np.asarray(w.body_linvel(box)).copy()
+    mv = w.move_character(
+        ShapeType.CAPSULE, cap, (0.0, 0.75, 0.0), (0, 0, 0, 1),
+        (0.6, 0.0, 0.0), character_mass=80.0, dt=1.0 / 60.0,
+    )
+    assert bool(np.asarray(mv.hit_obstacle))
+    v1 = np.asarray(w.body_linvel(box))
+    assert v1[0] > 0.3, f"box not pushed: {v0} -> {v1}"
+    # A few steps later the box has actually moved away.
+    x0 = float(np.asarray(w.body_translation(box))[0])
+    w.step(30)
+    assert float(np.asarray(w.body_translation(box))[0]) > x0 + 0.05
+
+    # No impulses: same move with apply_impulses=False leaves it still.
+    w2, box2 = build()
+    w2.move_character(
+        ShapeType.CAPSULE, cap, (0.0, 0.75, 0.0), (0, 0, 0, 1),
+        (0.6, 0.0, 0.0), character_mass=80.0, apply_impulses=False,
+    )
+    assert abs(float(np.asarray(w2.body_linvel(box2))[0])) < 1e-6

@@ -332,3 +332,136 @@ def test_coulomb_friction_model_stack():
     vs_ = w.body_linvel2(slider)
     assert 20.5 < ps[0] < 30.0, f"slider travel {ps}"
     assert abs(vs_[0]) < 0.1, f"slider still moving: {vs_}"
+
+
+def test_s2d_arch():
+    """s2d_arch (examples2d/s2d_arch.rs:1): a 17-voussoir stone arch held by
+    compression + friction alone, with 4 cuboids stacked on the keystone.
+    The solver acid test: any normal-impulse leakage makes the arch spread
+    and collapse.  Quantitative: every voussoir stays within 0.15 of its
+    start pose and the keystone keeps its height."""
+    ps1 = np.array([
+        [16.0, 0.0], [14.93803712795643, 5.133601056842984],
+        [13.79871746027416, 10.24928069555078],
+        [12.56252963284711, 15.34107019122473],
+        [11.20040987372525, 20.39856541571217],
+        [9.66521217819836, 25.40369899225096],
+        [7.87179930638133, 30.3179337000085],
+        [5.635199558196225, 35.03820717801641],
+        [2.405937953536585, 39.09554102558315],
+    ]) * 0.25
+    ps2 = np.array([
+        [24.0, 0.0], [22.33619528222415, 6.02299846205841],
+        [20.54936888969905, 12.00964361211476],
+        [18.60854610798073, 17.9470321677465],
+        [16.46769273811807, 23.81367936585418],
+        [14.05325025774858, 29.57079353071012],
+        [11.23551045834022, 35.13775818285372],
+        [7.752568160730571, 40.30450679009583],
+        [3.016931552701656, 44.28891593799322],
+    ]) * 0.25
+    friction = 0.6
+
+    w = PhysicsWorld2D()
+    ground = w.insert_body(RigidBodyBuilder2D.fixed().with_translation((0, -1)))
+    # Reference uses a ground segment; a wide flat cuboid is the same
+    # contact surface for resting bodies.
+    w.insert_collider(
+        ColliderBuilder2D.cuboid(100.0, 1.0).with_friction(friction), ground
+    )
+    voussoirs = []
+    for i in range(8):
+        pts = [ps1[i], ps2[i], ps2[i + 1], ps1[i + 1]]
+        b = w.insert_body(RigidBodyBuilder2D.dynamic())
+        w.insert_collider(
+            ColliderBuilder2D.convex_hull(pts).with_friction(friction), b)
+        voussoirs.append(b)
+    for i in range(8):
+        pts = [(-ps2[i][0], ps2[i][1]), (-ps1[i][0], ps1[i][1]),
+               (-ps1[i + 1][0], ps1[i + 1][1]), (-ps2[i + 1][0], ps2[i + 1][1])]
+        b = w.insert_body(RigidBodyBuilder2D.dynamic())
+        w.insert_collider(
+            ColliderBuilder2D.convex_hull(pts).with_friction(friction), b)
+        voussoirs.append(b)
+    pts = [ps1[8], ps2[8], (-ps1[8][0], ps1[8][1]), (-ps2[8][0], ps2[8][1])]
+    key = w.insert_body(RigidBodyBuilder2D.dynamic())
+    w.insert_collider(
+        ColliderBuilder2D.convex_hull(pts).with_friction(friction), key)
+    voussoirs.append(key)
+    stack = []
+    for i in range(4):
+        b = w.insert_body(RigidBodyBuilder2D.dynamic().with_translation(
+            (0.0, 0.5 + ps2[8][1] + 1.0 * i)))
+        w.insert_collider(
+            ColliderBuilder2D.cuboid(2.0, 0.5).with_friction(friction), b)
+        stack.append(b)
+    w.build()
+    start = {b: w.body_translation2(b).copy() for b in voussoirs + stack}
+    w.step(300)
+    for b in voussoirs:
+        p = w.body_translation2(b)
+        d = np.linalg.norm(p - start[b])
+        assert d < 0.15, f"voussoir {b} moved {d:.3f}: {start[b]} -> {p}"
+    key_y = w.body_translation2(key)[1]
+    assert key_y > start[key][1] - 0.1, f"keystone sank to {key_y}"
+    top_y = w.body_translation2(stack[-1])[1]
+    assert top_y > start[stack[-1]][1] - 0.25, f"stacked box fell to {top_y}"
+
+
+def test_s2d_card_house():
+    """s2d_card_house (examples2d/s2d_card_house.rs:1): 40 thin leaning
+    cards (half-thickness 0.01) in a 5-level house.  Stresses thin-box
+    manifolds + friction: any tangential leak slides the leaning pairs
+    apart.  Quantitative: every card keeps its tilt to within ~6 degrees
+    and nothing falls below half its height."""
+    friction = 0.7
+    scale = 10.0
+    card_h = 0.2 * scale
+    card_t = 0.001 * scale
+    a0 = 25.0 * np.pi / 180.0
+    a1 = -a0
+    a2 = 0.5 * np.pi
+
+    w = PhysicsWorld2D()
+    ground = w.insert_body(RigidBodyBuilder2D.fixed().with_translation((0, -2)))
+    w.insert_collider(
+        ColliderBuilder2D.cuboid(40.0, 2.0).with_friction(friction), ground)
+
+    cards = []
+    nb, z0, y = 5, 0.0, card_h - 0.02 * scale
+    while nb:
+        z = z0
+        for i in range(nb):
+            if i != nb - 1:
+                b = w.insert_body(
+                    RigidBodyBuilder2D.dynamic()
+                    .with_translation((z + 0.25 * scale,
+                                       y + card_h - 0.015 * scale))
+                    .with_rotation_angle(a2))
+                w.insert_collider(
+                    ColliderBuilder2D.cuboid(card_t, card_h)
+                    .with_friction(friction), b)
+                cards.append((b, a2))
+            for ang in (a1, a0):
+                b = w.insert_body(
+                    RigidBodyBuilder2D.dynamic().with_translation((z, y))
+                    .with_rotation_angle(ang))
+                w.insert_collider(
+                    ColliderBuilder2D.cuboid(card_t, card_h)
+                    .with_friction(friction), b)
+                cards.append((b, ang))
+                z += 0.175 * scale
+        y += card_h * 2.0 - 0.03 * scale
+        z0 += 0.175 * scale
+        nb -= 1
+
+    w.build()
+    start = {b: (w.body_translation2(b).copy(), a) for b, a in cards}
+    w.step(240)
+    for b, a in cards:
+        p = w.body_translation2(b)
+        ang = w.body_rotation_angle(b)
+        p0, a0_ = start[b]
+        d_ang = abs((ang - a0_ + np.pi) % (2 * np.pi) - np.pi)
+        assert d_ang < 0.12, f"card {b} tilted {np.degrees(d_ang):.1f} deg"
+        assert p[1] > p0[1] - card_h * 0.5, f"card {b} fell: {p0} -> {p}"
