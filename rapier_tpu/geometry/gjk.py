@@ -461,10 +461,36 @@ def contact_support_maps(pA, rA, stA, prmA, pB, rB, stB, prmB,
     inter = g["intersect"]
     ok_pen = inter & epa_ok
     dist = jnp.where(ok_pen, -depth, g["dist"]) - bA - bB
-    # Degenerate EPA seed (touching at a point): fall back to the center line.
+    # Degenerate EPA seed = shapes touching EXACTLY (depth ~ 0; common for
+    # scenes built in resting contact, e.g. the s2d arch voussoirs, whose
+    # round-4 fallback normal kicked every joint on the first step).  The
+    # terminal GJK simplex then spans the contact face of the Minkowski
+    # difference: its plane normal IS the contact normal for face/edge
+    # touches.  Orient by the support gap (the correct A->B normal has
+    # separation ~ 0; the flipped one reports deep overlap).
+    # EXACT-touch recovery (scenes built in resting contact, e.g. the s2d
+    # arch voussoirs sharing joint vertices): the origin lies ON the
+    # Minkowski boundary — often at a VERTEX when the shapes share corner
+    # points — so the GJK simplex degenerates and EPA has no seed; the
+    # round-4 fallback normal kicked every arch joint on step one.  Retry
+    # with the difference inflated by a small ball (supp + eps*d): the
+    # origin becomes strictly interior and EPA recovers the true face
+    # normal (depth is discarded; dist stays the exact 0).
+    eps_inf = 1e-4
+
+    def supp_inf(d_w):
+        w, sa, sb = supp(d_w)
+        dn = d_w / jnp.maximum(jnp.linalg.norm(d_w), _EPS)
+        return w + eps_inf * dn, sa, sb
+
+    g2 = gjk(supp_inf, d0)
+    _d2, n_inf, _a2, _b2, inf_ok = epa(supp_inf, g2)
+    inf_ok = inf_ok & g2["intersect"]
+    # Last resort: the center line.
     fallback_n = d0 / jnp.maximum(jnp.linalg.norm(d0), _EPS)
     normal = jnp.where(ok_pen, n_pen,
-                       jnp.where(inter, fallback_n, g["normal"]))
+                       jnp.where(inter & inf_ok, n_inf,
+                                 jnp.where(inter, fallback_n, g["normal"])))
     cpA = jnp.where(ok_pen, cpA_p, g["cpA"]) + normal * bA
     cpB = jnp.where(ok_pen, cpB_p, g["cpB"]) - normal * bB
     return dist, normal, cpA, cpB

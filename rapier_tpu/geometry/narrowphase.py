@@ -243,18 +243,29 @@ def capsule_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     def seg_point(t):
         return al + (bl - al) * t
 
-    # Ternary search for the closest segment parameter (distance to the box is
-    # convex along the segment outside the box; inside we want deepest, which
-    # this approximates well enough for manifold seeding).
+    # Golden-section search for the closest segment parameter (distance to
+    # the box is convex along the segment outside the box; inside we want
+    # deepest, which this approximates well enough for manifold seeding).
+    # One probe per iteration (the previous 24-round ternary search paid two
+    # _point_box_signed evaluations per round for the same final bracket —
+    # this kernel runs at full lane width and was ~30 ms/step at the
+    # 4096-scene bench).  (0.618)^20 ~ 6e-5 matches the old bracket.
+    gr = 0.6180339887498949
     lo, hi = 0.0, 1.0
-    for _ in range(24):
-        m1 = lo + (hi - lo) / 3.0
-        m2 = hi - (hi - lo) / 3.0
-        d1, _, _ = _point_box_signed(seg_point(m1), h)
-        d2, _, _ = _point_box_signed(seg_point(m2), h)
-        go_right = d1 > d2
-        lo = jnp.where(go_right, m1, lo)
-        hi = jnp.where(go_right, hi, m2)
+    x1 = hi - gr * (hi - lo)
+    x2 = lo + gr * (hi - lo)
+    f1, _, _ = _point_box_signed(seg_point(x1), h)
+    f2, _, _ = _point_box_signed(seg_point(x2), h)
+    for _ in range(20):
+        left = f1 < f2
+        lo = jnp.where(left, lo, x1)
+        hi = jnp.where(left, x2, hi)
+        xp = jnp.where(left, hi - gr * (hi - lo), lo + gr * (hi - lo))
+        fp, _, _ = _point_box_signed(seg_point(xp), h)
+        x1, f1, x2, f2 = (
+            jnp.where(left, xp, x2), jnp.where(left, fp, f2),
+            jnp.where(left, x1, xp), jnp.where(left, f1, fp),
+        )
     t_star = 0.5 * (lo + hi)
 
     # Candidate parameters: optimum + both (slab-clipped) endpoints.
