@@ -131,6 +131,88 @@ class PairOneHot(NamedTuple):
     idx12: jax.Array = None  # [2P] int32, values < 128 (kernel gather mode)
 
 
+class FoldGather(NamedTuple):
+    """Scene-folded kernel routing (pallas_sweep._kernel_fold_gather):
+    S scenes ride the SUBLANE axis, so per-scene body tables are [d, S, 128]
+    (one vreg per component row) and gathers are per-row-independent
+    tpu.dynamic_gather ops covering 8 scenes each.  Scatters:
+
+    - per-color passes: INVERSE gather via inv12[color] [S, 128] — within a
+      conflict-free color each dynamic body receives from at most one lane
+      endpoint, so the scatter is a gather of the delta columns (sentinel
+      2P = no write).
+    - warmstart / the static overflow-color pass (lanes the Luby loop could
+      not color; may self-conflict): sum-scatter via the batched one-hot
+    oh12_b [S, 2P, 128] (Mosaic unrolls the batched dot — once per
+    substep / sweep, not per color).
+    """
+
+    idx1: jax.Array     # [S, P] int32 endpoint-1 body (sentinel N)
+    idx2: jax.Array     # [S, P]
+    inv12: jax.Array    # [MC, S, 128] int32 delta-column per (color, body);
+                        # sentinel 2P.  None on the overflow-pass variant.
+    oh12_b: jax.Array   # [S, 2P, 128] f32 batched scatter one-hot
+    p: int              # lanes per endpoint (static)
+
+
+def _fold_lane_gather(table, idx):
+    """Folded gather: table [d, S, 128] by idx [S, P] -> [d, S, P].
+    One per-row-independent tpu.dynamic_gather per (component, P-tile)."""
+    d = table.shape[0]
+    p = idx.shape[-1]
+    outs = []
+    for c in range(d):
+        tiles = []
+        for t in range(p // 128):
+            it = idx[:, t * 128:(t + 1) * 128] + 0
+            tiles.append(jnp.take_along_axis(table[c] + 0.0, it, axis=1))
+        outs.append(jnp.concatenate(tiles, axis=-1) if len(tiles) > 1
+                    else tiles[0])
+    return jnp.stack(outs)
+
+
+def _fold_scatter_sum(table, fg: "FoldGather", vals1, vals2):
+    """Sum-scatter both endpoints' deltas [d, S, P] into table [d, S, 128]
+    via the batched one-hot (Mosaic unrolls the dot over S)."""
+    d = vals1.shape[0]
+    vals = jnp.concatenate([vals1, vals2], axis=-1)       # [d, S, 2P]
+    vs = jnp.stack([vals[i] + 0.0 for i in range(d)], axis=1)  # [S, d, 2P]
+    upd = jax.lax.dot_general(
+        vs, fg.oh12_b,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=table.dtype,
+    )                                                     # [S, d, 128]
+    return table + jnp.stack([upd[:, i, :] + 0.0 for i in range(d)])
+
+
+def _fold_scatter_inverse(table, fg: "FoldGather", color_id, vals1, vals2):
+    """Conflict-free per-color scatter: one inverse gather of the delta
+    columns per (component, source tile).  inv12[color] holds, per body,
+    the delta column in [0, 2P) (endpoint-1 columns first) or 2P."""
+    d = vals1.shape[0]
+    p = fg.p
+    delta12 = jnp.concatenate([vals1, vals2], axis=-1)    # [d, S, 2P]
+    # Row select by traced color id, unrolled over the static color count
+    # (Mosaic has no value-level dynamic_slice; MC selects on [S, 128] are
+    # cheap next to the per-color solve).
+    mc = fg.inv12.shape[0]
+    inv_c = fg.inv12[0] + 0
+    for ci in range(1, mc):
+        inv_c = jnp.where(color_id == ci, fg.inv12[ci], inv_c)
+    rows = []
+    for c in range(d):
+        acc = None
+        for t in range(2 * p // 128):
+            tile = delta12[c, :, t * 128:(t + 1) * 128] + 0.0
+            idx_t = jnp.clip(inv_c - t * 128, 0, 127)
+            sel = (inv_c >= t * 128) & (inv_c < (t + 1) * 128)
+            g = jnp.take_along_axis(tile, idx_t, axis=1)  # [S, 128]
+            contrib = jnp.where(sel, g, 0.0)
+            acc = contrib if acc is None else acc + contrib
+        rows.append(acc)
+    return table + jnp.stack(rows)
+
+
 def _lane_gather(table, idx2):
     """Kernel-only gather of a single-vreg table: table [d, 128] indexed by
     idx2 [2, P] (P a multiple of 128) -> [d, 2P] (endpoint-1 columns first).
@@ -263,14 +345,14 @@ def generate_from(b1, b2, valid, color, normal, point, point_active, dist,
         oh1, oh2 = make_pair_onehot(b1, b2, n_bodies + 1), None
     if oh1 is None:
         oh1 = _onehot(b1, n_bodies + 1)
-    if oh2 is None and not isinstance(oh1, PairOneHot):
+    if oh2 is None and not isinstance(oh1, (PairOneHot, FoldGather)):
         oh2 = _onehot(b2, n_bodies + 1)
     ii_flat = (
         sb.ii.reshape(9, sb.ii.shape[-1])
         if sb.ii.ndim == 3 and sb.ii.shape[0] == 3 and sb.ii.shape[1] == 3
         else sb.ii
     )
-    if isinstance(oh1, PairOneHot):
+    if isinstance(oh1, (PairOneHot, FoldGather)):
         # ONE fused [25, N+1] row table x [N+1, 2P] matmul for every
         # per-endpoint quantity (matmul count, not FLOPs, dominates the
         # tiny-matrix routing — see PairOneHot).
@@ -458,6 +540,9 @@ def make_pair_onehot(b1, b2, n1: int) -> PairOneHot:
 
 def _gather2(table, oh1, oh2):
     """Gather table rows [d, N+1] for both endpoints -> ([d, P], [d, P])."""
+    if isinstance(oh1, FoldGather):
+        return (_fold_lane_gather(table, oh1.idx1),
+                _fold_lane_gather(table, oh1.idx2))
     if isinstance(oh1, PairOneHot):
         if oh1.idx12 is not None:
             g = _lane_gather(table, oh1.idx12)
@@ -480,7 +565,7 @@ def update(c: ContactConstraints, sb: SolverBodies, oh1, oh2, *, cfm_factor,
     """Per-substep soft-constraint rhs recompute from current solver poses
     (reference contact_with_twist_friction.rs:251-330).  Rate arguments are
     for the SUBSTEP dt."""
-    if isinstance(oh1, PairOneHot):
+    if isinstance(oh1, (PairOneHot, FoldGather)):
         pose = jnp.concatenate([sb.com, sb.rot], axis=0)   # [7, N+1]
         P1, P2 = _gather2(pose, oh1, oh2)
         com1, rot1 = P1[0:3] + 0.0, P1[3:7] + 0.0
@@ -568,6 +653,13 @@ def warmstart(c: ContactConstraints, sb: SolverBodies, oh1, oh2) -> SolverBodies
         upd = routing.segment_sum(vals, oh1.seg_pair)  # [6, N+1]
         return sb._replace(v_lin=sb.v_lin + upd[0:3],
                            v_ang=sb.v_ang + upd[3:6])
+    if isinstance(oh1, FoldGather):
+        # Impulses from ALL lanes at once (colors conflict): sum-scatter.
+        vw = _fold_scatter_sum(
+            jnp.concatenate([sb.v_lin, sb.v_ang], axis=0), oh1,
+            jnp.concatenate([dv1, dw1], axis=0),
+            jnp.concatenate([dv2, dw2], axis=0))
+        return sb._replace(v_lin=vw[0:3] + 0.0, v_ang=vw[3:6] + 0.0)
     if isinstance(oh1, PairOneHot):
         vals = jnp.concatenate([
             jnp.concatenate([dv1, dw1], axis=0),
@@ -599,7 +691,7 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
     mask = c.valid & (c.color == color_id)
     fmask = mask.astype(jnp.float32)
 
-    if isinstance(oh1, PairOneHot):
+    if isinstance(oh1, (PairOneHot, FoldGather)):
         vw = jnp.concatenate([sb.v_lin, sb.v_ang], axis=0)  # [6, N+1]
         V1, V2 = _gather2(vw, oh1, oh2)
         v1, w1 = V1[0:3] + 0.0, V1[3:6] + 0.0
@@ -790,6 +882,17 @@ def solve_color(c: ContactConstraints, sb: SolverBodies, color_id, oh1, oh2, *,
         upd = routing.segment_sum(vals, oh1.seg_pair)  # [6, N+1]
         v_lin = sb.v_lin + upd[0:3]
         v_ang = sb.v_ang + upd[3:6]
+    elif isinstance(oh1, FoldGather):
+        vw0 = jnp.concatenate([sb.v_lin, sb.v_ang], axis=0)
+        d1v = jnp.concatenate([(v1 - v1_0) * m, (w1 - w1_0) * m], axis=0)
+        d2v = jnp.concatenate([(v2 - v2_0) * m, (w2 - w2_0) * m], axis=0)
+        if oh1.inv12 is None:
+            # Overflow-color pass (may self-conflict): sum-scatter.
+            vw = _fold_scatter_sum(vw0, oh1, d1v, d2v)
+        else:
+            vw = _fold_scatter_inverse(vw0, oh1, color_id, d1v, d2v)
+        v_lin = vw[0:3] + 0.0
+        v_ang = vw[3:6] + 0.0
     elif isinstance(oh1, PairOneHot):
         vals = jnp.concatenate([
             jnp.concatenate([(v1 - v1_0) * m, (w1 - w1_0) * m], axis=0),

@@ -290,7 +290,14 @@ def capsule_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
     )  # rank[i] = position of candidate i in ascending order
     oh_rank = (rank[None, :] == idx3[:, None]).astype(dists.dtype)  # [slot, cand]
 
-    n_prim_l = oh_rank[0] @ normals_l
+    # Unrolled 3x3 one-hot contractions: tiny `@` matmuls under the lane
+    # vmap become micro batched dots on TPU (~28 ms/step at the 4096-scene
+    # bench); explicit sums fuse into neighboring elementwise work.
+    def pick3(rows, s):
+        return (oh_rank[s, 0] * rows[0] + oh_rank[s, 1] * rows[1]
+                + oh_rank[s, 2] * rows[2])
+
+    n_prim_l = pick3(normals_l, 0)
     n = -quat.rotate(rB, n_prim_l)
 
     def mk_point(i):
@@ -300,9 +307,10 @@ def capsule_cuboid(pA, rA, prmA, pB, rB, prmB) -> Manifold:
         return 0.5 * (s_cap + surf_w)
 
     pts_w = jax.vmap(mk_point)(idx3)
-    pts_sorted = oh_rank @ pts_w            # [3, 3] slot-ordered points
-    dists_sorted = oh_rank @ dists
-    nrm_dot = oh_rank @ (normals_l @ n_prim_l)   # agreement with primary
+    pts_sorted = jnp.stack([pick3(pts_w, s) for s in range(3)])
+    dists_sorted = jnp.stack([pick3(dists, s) for s in range(3)])
+    ndots = jnp.stack([jnp.dot(normals_l[c], n_prim_l) for c in range(3)])
+    nrm_dot = jnp.stack([pick3(ndots, s) for s in range(3)])
     fid_sorted = jnp.sum(oh_rank * idx3[None, :].astype(dists.dtype), axis=1)
 
     for k in range(3):

@@ -634,6 +634,7 @@ def step(state: SceneState, params: SimParams, hooks=None):
             pgs_iters=params.num_internal_pgs_iterations,
             stab_iters=params.num_internal_stabilization_iterations,
             interpret=jax.default_backend() != "tpu",
+            dyn1=sd1, dyn2=sd2, max_colors=params.max_colors,
         )
         if compact_solve:
             # Scatter the impulse block back to full lanes; lanes the solve

@@ -88,12 +88,19 @@ def _compact_indices_blocked(mask, max_out: int):
     )
     blk_c = jnp.minimum(blk, nb - 1)
     oh = (jnp.arange(nb)[None, :] == blk_c[:, None]).astype(jnp.float32)
-    row = oh @ m.astype(jnp.float32)                      # [MO, 128] (MXU)
+    # Per-block local ranks computed ONCE over [NB, 128] (the previous
+    # [MO, 128] per-slot cumsum was the dominant cost at the 4096-scene
+    # bench, ~17 ms/step); the slot's column is then a one-hot compare on
+    # the fetched rank row.
+    local_rank = jnp.cumsum(mi, axis=1) - mi              # [NB, 128] excl.
+    rank_row = oh @ jnp.where(m, local_rank, -1).astype(jnp.float32)
     prev = (oh @ (block_cum - block_counts).astype(jnp.float32)).astype(jnp.int32)
 
-    p = r - prev
-    row_cum = jnp.cumsum(row, axis=1)
-    col = jnp.sum((row_cum < p[:, None].astype(jnp.float32)).astype(jnp.int32), axis=1)
+    p = (r - prev - 1).astype(jnp.float32)                # 0-based in-block
+    iota = jnp.arange(_BLOCK, dtype=jnp.float32)
+    col = jnp.sum(
+        jnp.where(rank_row == p[:, None], iota[None, :], 0.0), axis=1
+    ).astype(jnp.int32)
 
     src = blk_c * _BLOCK + jnp.minimum(col, _BLOCK - 1)
     valid = r <= jnp.minimum(total, max_out)
