@@ -69,8 +69,11 @@ def main():
         # Solver-lane compaction: a settled box pyramid touches ~5 pairs per
         # box; the cap bounds the O(substeps x colors) sweep width.
         n_boxes = sum((stack - i) ** 2 for i in range(stack))
+        # 8 touching pairs per box: a settled 24-stack needs ~7/box (the
+        # round-4 default of 6 silently dropped ~4.5k pairs — caught by the
+        # max_overflow assertion below).
         cap = int(os.environ.get(
-            "BENCH_SOLVER_PAIRS", -((-6 * n_boxes) // 128) * 128))
+            "BENCH_SOLVER_PAIRS", -((-8 * n_boxes) // 128) * 128))
         world.params = world.params.replace(
             broad_phase=int(BroadPhaseKind.SAP), sap_window=96,
             max_solver_pairs=cap,

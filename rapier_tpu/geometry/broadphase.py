@@ -98,13 +98,23 @@ def find_pairs_all(mins, maxs, colliders, body_type, max_pairs: int):
     return out1, out2, valid, overflow
 
 
-def find_pairs_sap(mins, maxs, colliders, body_type, max_pairs: int, window: int):
-    """Sort-based sweep-and-prune with a fixed candidate window.
+K_LONG = 8  # colliders with the longest sweep-axis intervals go global
 
-    Sorts AABB minima along the highest-variance axis; each collider is tested
-    against the next `window` colliders in sorted order.  Colliders whose
-    x-interval extends past the window contribute to `overflow` (missed-pair
-    risk indicator) so callers can bump `window`.
+
+def find_pairs_sap(mins, maxs, colliders, body_type, max_pairs: int, window: int):
+    """Sort-based sweep-and-prune with a fixed candidate window + a global
+    long-collider set.
+
+    Sorts AABB minima along the highest-variance axis; each collider is
+    tested against the next `window` colliders in sorted order.  The K_LONG
+    colliders with the LONGEST sweep-axis intervals (grounds, walls) are
+    excluded from the window and paired against EVERY collider instead —
+    the standard SAP long-object fix.  Round-4 lacked it: a 100-unit ground
+    sorts first and only ever paired with its 96 window neighbors, so most
+    of a big pyramid's base row had NO ground contacts (the honest-overflow
+    bench assertion caught 4,489 silently missed pairs on stack-24; the
+    round-3/4 pyramid steps/s rows measured a sinking scene).  Remaining
+    long colliders beyond K_LONG still surface in `overflow`.
 
     Gather-free inner loop: every per-collider field is gathered into sorted
     order ONCE ([c]-sized gathers); the window candidates (i, i+k) then come
@@ -169,18 +179,62 @@ def find_pairs_sap(mins, maxs, colliders, body_type, max_pairs: int, window: int
 
     mask = (sweep_ok & aabb_ok & en_ok & ~same_parent & type_ok & groups_ok)
 
+    # ---- global long-collider pairs ----
+    interval = jnp.where(en_s, smax_axis - s_key, -jnp.inf)     # [c]
+    k_long = min(K_LONG, c)
+    _, long_slots = jax.lax.top_k(interval, k_long)             # sorted slots
+    long_rank = jnp.full((c,), k_long, jnp.int32).at[long_slots].set(
+        jnp.arange(k_long, dtype=jnp.int32))
+    is_long = long_rank < k_long                                # [c] sorted
+
+    # Exclude long colliders from the windowed sweep entirely (their pairs
+    # come from the global grid; keeping both would duplicate contacts).
+    mask = mask & ~is_long[:, None] & ~win(is_long, True)
+
+    # [k_long, c] grid: every long collider vs every collider.  Small-row
+    # gathers (8 rows) are cheap even batched.
+    li = long_slots
+    gl_min = s_min[li]                                          # [K, 3]
+    gl_max = s_max[li]
+    gl_overlap = jnp.all(
+        (gl_min[:, None, :] <= s_max[None, :, :])
+        & (s_min[None, :, :] <= gl_max[:, None, :]), axis=-1)
+    gl_en = en_s[li][:, None] & en_s[None, :]
+    gl_same_parent = (
+        (par_s[li][:, None] == par_s[None, :]) & (par_s[li][:, None] >= 0))
+    gti = bt_s[li][:, None]
+    gtj = bt_s[None, :]
+
+    def _gact(a):
+        return ((((a >> (gti * 4)) & 15) & (1 << gtj)) != 0) | (
+            (((a >> (gtj * 4)) & 15) & (1 << gti)) != 0)
+
+    gl_type = _gact(act_s[li][:, None]) | _gact(act_s[None, :])
+    gl_groups = ((m_s[li][:, None] & f_s[None, :]) != 0) & (
+        (m_s[None, :] & f_s[li][:, None]) != 0)
+    # Dedup long-vs-long: count the pair once (at the lower long rank).
+    gl_rank = jnp.arange(k_long)[:, None]
+    gl_dedup = ~is_long[None, :] | (long_rank[None, :] > gl_rank)
+    gl_self = li[:, None] == jnp.arange(c)[None, :]
+    gl_mask = (gl_overlap & gl_en & ~gl_same_parent & gl_type & gl_groups
+               & gl_dedup & ~gl_self)
+
     c1_grid = jnp.broadcast_to(order[:, None], (c, window))
     c2_grid = win(order, jnp.int32(0))
-    lo = jnp.minimum(c1_grid, c2_grid).reshape(-1)
-    hi = jnp.maximum(c1_grid, c2_grid).reshape(-1)
-    out1, out2, valid, overflow = _compact_pairs(
-        lo, hi, mask.reshape(-1), max_pairs
-    )
+    gl_c1 = jnp.broadcast_to(order[li][:, None], (k_long, c))
+    gl_c2 = jnp.broadcast_to(order[None, :], (k_long, c))
+    all_a = jnp.concatenate([c1_grid.reshape(-1), gl_c1.reshape(-1)])
+    all_b = jnp.concatenate([c2_grid.reshape(-1), gl_c2.reshape(-1)])
+    all_mask = jnp.concatenate([mask.reshape(-1), gl_mask.reshape(-1)])
+    lo = jnp.minimum(all_a, all_b)
+    hi = jnp.maximum(all_a, all_b)
+    out1, out2, valid, overflow = _compact_pairs(lo, hi, all_mask, max_pairs)
 
-    # Window-miss detection: i's interval still open at i+window.
+    # Window-miss detection: i's interval still open at i+window (long
+    # colliders excluded — the global grid covers them).
     base = jnp.arange(c)
     far = jnp.minimum(base + window, c - 1)
-    missed = (base + window < c) & (s_key[far] <= smax_axis)
+    missed = (base + window < c) & (s_key[far] <= smax_axis) & ~is_long
     overflow = overflow + jnp.sum(missed.astype(jnp.int32))
     return out1, out2, valid, overflow
 

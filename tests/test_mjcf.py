@@ -226,3 +226,87 @@ def test_mjcf_equality_connect_holds_bodies():
     assert np.isfinite(pa).all() and np.isfinite(pb).all()
     # The connect anchor keeps the two spheres 1m apart while both free-fall.
     assert abs(np.linalg.norm(pa - pb) - 1.0) < 0.05
+
+
+def test_mjcf_tail_gravcomp_mocap_tendon_ellipsoid():
+    """Round-5 MJCF tail (reference rapier3d-mjcf runtime.rs:38 gravity
+    compensation, :141 mocap, mass.rs ellipsoid, mjcf-rs spatial tendons):
+    a menagerie-style model with every feature loads, the keyframe round-
+    trips mocap poses, gravcomp holds a free body against gravity, and the
+    spatial tendon length reads through sensors."""
+    import numpy as np
+
+    from rapier_tpu.loaders.mjcf import load_mjcf
+    from rapier_tpu.world import PhysicsWorld
+    from rapier_tpu.types import BodyType
+
+    xml = """
+    <mujoco>
+      <worldbody>
+        <geom type="plane" size="10 10 0.1"/>
+        <body name="float" pos="0 0 1" gravcomp="1">
+          <joint name="lift" type="slide" axis="0 0 1"/>
+          <geom type="ellipsoid" size="0.3 0.2 0.1" density="500"/>
+          <site name="s_base" pos="0 0 0.1"/>
+        </body>
+        <body name="target" pos="0.5 0 1.5" mocap="true">
+          <geom type="sphere" size="0.05" density="100"/>
+          <site name="s_tip" pos="0 0 0"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <spatial name="cable">
+          <site site="s_base"/>
+          <site site="s_tip"/>
+        </spatial>
+      </tendon>
+      <sensor>
+        <tendonpos name="cable_len" tendon="cable"/>
+      </sensor>
+      <keyframe>
+        <key name="home" qpos="0" mpos="0.5 0.5 2.0" mquat="1 0 0 0"/>
+      </keyframe>
+    </mujoco>
+    """
+    w = PhysicsWorld(gravity=(0, 0, -9.81))
+    robot = load_mjcf(xml, w)
+    # Mocap body is kinematic-position-based; gravcomp folded to scale 0.
+    assert robot.mocap == ["target"]
+    assert robot.gravcomp["float"] == 1.0
+    w.build()
+    hb = robot.bodies["float"]
+    ht = robot.bodies["target"]
+    assert int(np.asarray(w.state.bodies.body_type)[ht]) in (
+        int(BodyType.KINEMATIC_POSITION_BASED),)
+    assert float(np.asarray(w.state.bodies.gravity_scale)[hb]) == 0.0
+    # Ellipsoid inertia: true semi-axes (0.3, 0.2, 0.1), not a mean ball.
+    m = 1.0 / float(np.asarray(w.state.bodies.inv_mass)[hb])
+    vol = 4.0 / 3.0 * np.pi * 0.3 * 0.2 * 0.1
+    assert abs(m - 500.0 * vol) / (500.0 * vol) < 0.1, m
+    inv_i = np.asarray(w.state.bodies.inv_principal_inertia)[hb]
+    i_sorted = np.sort(1.0 / inv_i)
+    i_exact = np.sort(m / 5.0 * np.array([
+        0.2**2 + 0.1**2, 0.3**2 + 0.1**2, 0.3**2 + 0.2**2]))
+    np.testing.assert_allclose(i_sorted, i_exact, rtol=0.15)
+
+    # Gravcomp: the free body stays put under gravity.
+    z0 = float(np.asarray(w.body_translation(hb))[2])
+    w.step(60)
+    z1 = float(np.asarray(w.body_translation(hb))[2])
+    assert abs(z1 - z0) < 0.02, (z0, z1)
+
+    # Keyframe round-trip: mocap pose lands where mpos says.
+    robot.apply_keyframe(w, "home")
+    np.testing.assert_allclose(
+        np.asarray(w.body_translation(ht)), [0.5, 0.5, 2.0], atol=1e-5)
+    # Tendon length through the sensor = site distance.
+    sens = robot.read_sensors(w)
+    base = np.asarray(robot.site_position(w, "s_base"))
+    tip = np.asarray(robot.site_position(w, "s_tip"))
+    np.testing.assert_allclose(
+        sens["cable_len"], np.linalg.norm(tip - base), rtol=1e-5)
+    # Runtime mocap drive: the body follows set_mocap_pose across steps.
+    robot.set_mocap_pose(w, "target", (1.0, 0.0, 1.0))
+    w.step(2)
+    np.testing.assert_allclose(
+        np.asarray(w.body_translation(ht)), [1.0, 0.0, 1.0], atol=1e-4)
