@@ -120,6 +120,9 @@ def collide(state: SceneState, params: SimParams, hooks=None):
         stopped=stopped & ((prev_c.events_or & ACTIVE_EVENTS_COLLISION) != 0),
         force_events=zero_p,
         force_magnitude=jnp.zeros_like(man.friction),
+        total_force=jnp.zeros_like(man.normal),
+        max_force_direction=man.normal,
+        max_force_magnitude=jnp.zeros_like(man.friction),
         sensor_pairs=man.sensor,
         intersecting=man.sensor & man.touching,
         broadphase_overflow=bp_overflow,

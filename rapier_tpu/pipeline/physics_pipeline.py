@@ -59,7 +59,14 @@ class StepEvents(NamedTuple):
     stopped_keys: jax.Array    # [P] int32 — pair keys that stopped touching
     stopped: jax.Array         # [P] bool
     force_events: jax.Array    # [P] bool — contact force above threshold
-    force_magnitude: jax.Array # [P]
+    # ContactForceEvent payload (reference src/geometry/mod.rs:179-196 +
+    # contact_pair.rs:198-229: NORMAL impulses only, per manifold).  One
+    # manifold per pair lane here, so total == max and the direction is the
+    # manifold normal — exact under the reference's definitions.
+    force_magnitude: jax.Array # [P] total_force_magnitude (sum of |forces|)
+    total_force: jax.Array     # [3, P] vector sum of contact forces
+    max_force_direction: jax.Array  # [3, P] direction of the strongest force
+    max_force_magnitude: jax.Array  # [P]
     # Intersection-graph split (reference CollisionEvent's `sensor` flag,
     # event_handler.rs; sensors never produce solver contacts, their
     # started/stopped lanes represent intersection enter/exit).
@@ -1038,6 +1045,9 @@ def step(state: SceneState, params: SimParams, hooks=None):
         stopped=stopped & ((prev_eflags & ACTIVE_EVENTS_COLLISION) != 0),
         force_events=force_events,
         force_magnitude=force_mag,
+        total_force=man.normal * force_mag[None, :],
+        max_force_direction=man.normal,
+        max_force_magnitude=force_mag,
         sensor_pairs=man.sensor,
         intersecting=man.sensor & man.touching,
         broadphase_overflow=bp_overflow,

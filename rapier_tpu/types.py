@@ -436,6 +436,8 @@ class FrictionModel(enum.IntEnum):
 class BroadPhaseKind(enum.IntEnum):
     ALL_PAIRS = 0   # O(C^2) masked test; best for small scenes (RL batches)
     SAP = 1         # sort-based sweep-and-prune with fixed window
+    GRID = 2        # uniform cell grid; COMPLETE for dense 3D piles (SAP
+                    # windows cannot cover them — broadphase.py rationale)
 
 
 @struct.dataclass

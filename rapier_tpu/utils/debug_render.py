@@ -20,6 +20,34 @@ _CONTACT_COLOR = (0.9, 0.2, 0.2, 1.0)
 _JOINT_COLOR = (0.9, 0.7, 0.1, 1.0)
 
 
+class DebugRenderMode:
+    """What to draw — mirrors the reference DebugRenderMode bitflags
+    (debug_render_pipeline.rs:12-40)."""
+
+    COLLIDER_SHAPES = 1 << 0
+    RIGID_BODY_AXES = 1 << 1
+    IMPULSE_JOINTS = 1 << 2
+    CONTACTS = 1 << 3
+    DEFAULT = COLLIDER_SHAPES | IMPULSE_JOINTS | CONTACTS
+    ALL = COLLIDER_SHAPES | RIGID_BODY_AXES | IMPULSE_JOINTS | CONTACTS
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class DebugRenderStyle:
+    """Color/size knobs — the reference DebugRenderStyle analog
+    (debug_render_pipeline/debug_render_style.rs)."""
+
+    collider_color: tuple = _COLLIDER_COLOR
+    sleep_color: tuple = _SLEEP_COLOR
+    contact_color: tuple = _CONTACT_COLOR
+    joint_color: tuple = _JOINT_COLOR
+    contact_normal_length: float = 0.2
+    body_axes_length: float = 0.5
+
+
 def _q_rot(q, v):
     u, w = q[:3], q[3]
     t = 2.0 * np.cross(u, v)
@@ -92,10 +120,46 @@ def _shape_outline(st, prm):
     return segs
 
 
+def _hull_outline(verts_padded):
+    """Edge segments of a convex hull from its padded vertex slots: faces
+    are rebuilt host-side with the scene builder's hull machinery."""
+    v = np.asarray(verts_padded, float)
+    # Drop padding (repeated rows).
+    _, uniq_idx = np.unique(np.round(v, 6), axis=0, return_index=True)
+    pts = v[np.sort(uniq_idx)]
+    if len(pts) < 4:
+        return [(a, b) for a in pts for b in pts if not np.array_equal(a, b)]
+    try:
+        from rapier_tpu.world import _build_hull
+
+        _, faces, verts, _, _ = _build_hull(pts, max(len(pts), 8))
+        edges = set()
+        for f in np.asarray(faces):
+            for e in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+                edges.add((min(e), max(e)))
+        return [(verts[a], verts[b]) for a, b in edges]
+    except Exception:
+        return []
+
+
 def debug_render(state, *, render_contacts: bool = True,
-                 render_joints: bool = True):
-    """Returns (starts [K,3], ends [K,3], colors [K,4]) world-space lines."""
+                 render_joints: bool = True, mode: int = None,
+                 style: DebugRenderStyle = None):
+    """Returns (starts [K,3], ends [K,3], colors [K,4]) world-space lines.
+
+    `mode` is a DebugRenderMode bitmask (defaults derived from the legacy
+    boolean kwargs); `style` a DebugRenderStyle.  Covers every shape type:
+    analytic outlines, trimesh/heightfield wireframes (from the shared
+    triangle table), and convex hull edges (faces rebuilt host-side)."""
     from rapier_tpu.geometry.dispatch import collider_world_poses
+
+    style = style or DebugRenderStyle()
+    if mode is None:
+        mode = DebugRenderMode.COLLIDER_SHAPES
+        if render_contacts:
+            mode |= DebugRenderMode.CONTACTS
+        if render_joints:
+            mode |= DebugRenderMode.IMPULSE_JOINTS
 
     bodies = state.bodies
     colliders = state.colliders
@@ -109,17 +173,56 @@ def debug_render(state, *, render_contacts: bool = True,
     sleeping = np.asarray(bodies.sleeping)
 
     starts, ends, colors = [], [], []
-    for i in range(len(st)):
-        if not enabled[i]:
-            continue
-        color = _COLLIDER_COLOR
-        if parent[i] >= 0 and sleeping[parent[i]]:
-            color = _SLEEP_COLOR
-        for a, b in _shape_outline(int(st[i]), prm[i]):
-            starts.append(w_pos[i] + _q_rot(w_rot[i], a))
-            ends.append(w_pos[i] + _q_rot(w_rot[i], b))
-            colors.append(color)
+    mesh_tris = (np.asarray(state.meshes.triangles)
+                 if state.meshes is not None else None)
+    mesh_verts = (np.asarray(state.meshes.vertices)
+                  if state.meshes is not None else None)
+    hull_verts = (np.asarray(state.hulls.vertices)
+                  if state.hulls is not None else None)
+    if mode & DebugRenderMode.COLLIDER_SHAPES:
+        for i in range(len(st)):
+            if not enabled[i]:
+                continue
+            color = style.collider_color
+            if parent[i] >= 0 and sleeping[parent[i]]:
+                color = style.sleep_color
+            sti = int(st[i])
+            segs = _shape_outline(sti, prm[i])
+            if sti in (int(ShapeType.TRIMESH), int(ShapeType.HEIGHTFIELD)) \
+                    and mesh_tris is not None:
+                t0 = int(prm[i][0])
+                tc = int(prm[i][1])
+                for tri in mesh_tris[t0:t0 + tc]:
+                    if tri[0] < 0:
+                        continue
+                    va, vb, vc = (mesh_verts[tri[0]], mesh_verts[tri[1]],
+                                  mesh_verts[tri[2]])
+                    segs += [(va, vb), (vb, vc), (vc, va)]
+            elif sti == int(ShapeType.CONVEX) and hull_verts is not None:
+                segs += _hull_outline(hull_verts[int(prm[i][0])])
+            for a, b in segs:
+                starts.append(w_pos[i] + _q_rot(w_rot[i], a))
+                ends.append(w_pos[i] + _q_rot(w_rot[i], b))
+                colors.append(color)
 
+    if mode & DebugRenderMode.RIGID_BODY_AXES:
+        pos = np.asarray(bodies.pos)
+        rot = np.asarray(bodies.rot)
+        en_b = np.asarray(bodies.enabled)
+        for i in range(int(bodies.n)):
+            if not en_b[i]:
+                continue
+            for ax in range(3):
+                e = np.zeros(3)
+                e[ax] = style.body_axes_length
+                c4 = [0.0, 0.0, 0.0, 1.0]
+                c4[ax] = 1.0
+                starts.append(pos[i])
+                ends.append(pos[i] + _q_rot(rot[i], e))
+                colors.append(tuple(c4))
+
+    render_contacts = bool(mode & DebugRenderMode.CONTACTS)
+    render_joints = bool(mode & DebugRenderMode.IMPULSE_JOINTS)
     if render_contacts:
         c = state.contacts
         touching = np.asarray(c.touching)
@@ -129,8 +232,9 @@ def debug_render(state, *, render_contacts: bool = True,
         for p in np.where(touching)[0]:
             for k in np.where(act[:, p])[0]:
                 starts.append(pts[k, :, p])
-                ends.append(pts[k, :, p] + nrm[:, p] * 0.2)
-                colors.append(_CONTACT_COLOR)
+                ends.append(pts[k, :, p]
+                            + nrm[:, p] * style.contact_normal_length)
+                colors.append(style.contact_color)
 
     if render_joints and state.joints is not None:
         j = state.joints
@@ -141,7 +245,7 @@ def debug_render(state, *, render_contacts: bool = True,
         for k in np.where(en & (b1 >= 0))[0]:
             starts.append(pos[b1[k]])
             ends.append(pos[b2[k]])
-            colors.append(_JOINT_COLOR)
+            colors.append(style.joint_color)
 
     if not starts:
         return (np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 4)))

@@ -464,6 +464,23 @@ class ColliderBuilder:
     def with_solver_groups(self, groups: int):
         return self._set(solver_groups=int(groups))
 
+    def with_active_events(self, flags: int):
+        """ActiveEvents bitmask (reference event_handler.rs:33;
+        types.ACTIVE_EVENTS_COLLISION / ACTIVE_EVENTS_CONTACT_FORCE)."""
+        return self._set(active_events=int(flags))
+
+    def with_active_hooks(self, flags: int):
+        return self._set(active_hooks=int(flags))
+
+    def with_contact_force_event_threshold(self, thr: float):
+        return self._set(contact_force_event_threshold=float(thr))
+
+    def with_sensor(self, sensor: bool = True):
+        return self._set(sensor=bool(sensor))
+
+    def with_contact_skin(self, skin: float):
+        return self._set(contact_skin=float(skin))
+
 
 
 def _pad_params(shape_params) -> np.ndarray:

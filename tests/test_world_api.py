@@ -115,3 +115,77 @@ def test_additional_solver_iterations_folded():
     base_iters = w.params.num_solver_iterations
     w.build()
     assert w.params.num_solver_iterations == base_iters + 4
+
+
+def test_debug_render_mesh_hull_outlines_and_modes():
+    """Debug-render breadth (reference debug_render_pipeline.rs:53): trimesh
+    wireframes, convex hull edges, body axes, and mode/style flags."""
+    from rapier_tpu.utils.debug_render import (
+        DebugRenderMode, DebugRenderStyle, debug_render,
+    )
+    from rapier_tpu.world import ColliderBuilder, PhysicsWorld, RigidBodyBuilder
+
+    w = PhysicsWorld()
+    g = w.insert_body(RigidBodyBuilder.fixed())
+    verts = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]],
+                     np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    w.insert_collider(ColliderBuilder.trimesh(verts, tris), g)
+    hb = w.insert_body(RigidBodyBuilder.dynamic().with_translation((0, 2, 0)))
+    pts = [(x, y, z) for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+           for z in (-0.5, 0.5)]
+    w.insert_collider(ColliderBuilder.convex_hull(pts), hb)
+    w.build()
+
+    s0, e0, c0 = debug_render(w.state, mode=DebugRenderMode.COLLIDER_SHAPES)
+    # 2 triangles x 3 edges + >= 12 hull edges.
+    assert len(s0) >= 6 + 12, len(s0)
+
+    s1, _, _ = debug_render(w.state, mode=DebugRenderMode.ALL)
+    assert len(s1) > len(s0)          # body axes added
+
+    style = DebugRenderStyle(collider_color=(1, 0, 0, 1))
+    _, _, c2 = debug_render(w.state, mode=DebugRenderMode.COLLIDER_SHAPES,
+                            style=style)
+    assert tuple(np.asarray(c2)[0]) == (1.0, 0.0, 0.0, 1.0)
+
+
+def test_contact_force_event_payload():
+    """ContactForceEvent payload parity (reference geometry/mod.rs:179-196):
+    total_force vector, max_force_direction, max_force_magnitude."""
+    from rapier_tpu.types import ACTIVE_EVENTS_CONTACT_FORCE
+    from rapier_tpu.world import ColliderBuilder, PhysicsWorld, RigidBodyBuilder
+
+    w = PhysicsWorld()
+    g = w.insert_body(RigidBodyBuilder.fixed().with_translation((0, -1, 0)))
+    w.insert_collider(
+        ColliderBuilder.cuboid(10, 1, 10)
+        .with_active_events(ACTIVE_EVENTS_CONTACT_FORCE)
+        .with_contact_force_event_threshold(0.1), g)
+    b = w.insert_body(RigidBodyBuilder.dynamic().with_translation((0, 0.45, 0)))
+    w.insert_collider(
+        ColliderBuilder.ball(0.5)
+        .with_active_events(ACTIVE_EVENTS_CONTACT_FORCE)
+        .with_contact_force_event_threshold(0.1), b)
+    w.step(30)
+    ev = w.last_events
+    lanes = np.where(np.asarray(ev.force_events))[0]
+    assert len(lanes) >= 1
+    p = lanes[0]
+    tf = np.asarray(ev.total_force)[:, p]
+    mag = float(np.asarray(ev.force_magnitude)[p])
+    mx = float(np.asarray(ev.max_force_magnitude)[p])
+    nd = np.asarray(ev.max_force_direction)[:, p]
+    # Resting ball: the reported total at rest is (n_sub+1)/n_sub * m*g —
+    # the reference's accumulator seeds each step with the injected
+    # warmstart impulse and adds every substep's solve
+    # (contact_constraint_element.rs:242 total_impulse = accumulator +
+    # impulse; contact_with_twist_friction.rs:168,302), and this build
+    # reproduces that accounting exactly.  One manifold per lane so
+    # max == total and the direction is the (vertical) normal.
+    m = 1.0 / float(np.asarray(w.state.bodies.inv_mass)[b])
+    n_sub = w.params.num_solver_iterations
+    expect = m * 9.81 * (n_sub + 1) / n_sub
+    assert abs(np.linalg.norm(tf) - expect) / expect < 0.1, (tf, expect)
+    assert abs(mx - mag) < 1e-6
+    assert abs(abs(nd[1]) - 1.0) < 1e-3, nd
