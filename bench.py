@@ -74,8 +74,12 @@ def main():
         # max_overflow assertion below).
         cap = int(os.environ.get(
             "BENCH_SOLVER_PAIRS", -((-8 * n_boxes) // 128) * 128))
+        # GRID broad phase: windowed SAP is incomplete on dense 3D piles
+        # (same-xz boxes separated along z sit a whole sort-slab apart —
+        # the round-5 overflow assertion caught ~4.5k dropped pairs at
+        # stack 24); the uniform grid covers the full 26-neighbourhood.
         world.params = world.params.replace(
-            broad_phase=int(BroadPhaseKind.SAP), sap_window=96,
+            broad_phase=int(BroadPhaseKind.GRID),
             max_solver_pairs=cap,
         )
         state0 = world.build()

@@ -787,7 +787,8 @@ class PhysicsWorld:
     def __init__(self, gravity=(0.0, -9.81, 0.0), params: Optional[SimParams] = None,
                  max_pairs: Optional[int] = None, body_capacity: Optional[int] = None,
                  collider_capacity: Optional[int] = None,
-                 nan_policy: str = "ignore", nan_check_every: int = 16):
+                 nan_policy: str = "ignore", nan_check_every: int = 16,
+                 hooks=None):
         assert nan_policy in ("ignore", "trap", "rollback")
         self.nan_policy = nan_policy
         self.nan_check_every = nan_check_every
@@ -812,7 +813,15 @@ class PhysicsWorld:
         self._collider_capacity = collider_capacity
         self.state: Optional[SceneState] = None
         self.last_events = None
-        self._jit_step = jax.jit(_step_fn)
+        # Optional pipeline.hooks.PhysicsHooks: static (closed over at trace
+        # time), mirroring the reference's `&dyn PhysicsHooks` argument to
+        # PhysicsPipeline::step (physics_hooks.rs:142-200).
+        if hooks is not None:
+            import functools as _ft
+
+            self._jit_step = jax.jit(_ft.partial(_step_fn, hooks=hooks))
+        else:
+            self._jit_step = jax.jit(_step_fn)
 
     # ------------------------------------------------------------------
     # Construction

@@ -42,7 +42,7 @@ _SLOW_MODULES = {
     "test_sharding", "test_mutation", "test_solver_compaction",
     "test_2d_core", "test_convex_fallback", "test_convex_shapes",
     "test_mesh", "test_nan_guard", "test_large_scene_routing",
-    "test_quadruped",
+    "test_quadruped", "test_example_scenes",
 }
 
 

@@ -135,3 +135,61 @@ def test_far_pyramid_stands_at_f64():
     )
     assert out.returncode == 0, f"stdout={out.stdout}\nstderr={out.stderr[-2000:]}"
     assert "OK" in out.stdout
+
+
+def test_inv_pyramid2_balances():
+    """examples2d/inv_pyramid2.rs (downsized): an UPSIDE-DOWN pyramid —
+    one box at the bottom, wider rows above — balances on its single
+    support when built symmetrically (torque balance through the stack)."""
+    w = PhysicsWorld2D()
+    g = w.insert_body(RigidBodyBuilder2D.fixed().with_translation((0, -0.1)))
+    w.insert_collider(ColliderBuilder2D.cuboid(20.0, 0.1), g)
+    half = 0.5
+    rows = 3
+    tops = []
+    for row in range(rows):           # row 0 = single bottom box
+        n = row + 1
+        y = half + row * 2 * half
+        for i in range(n):
+            x = (i - (n - 1) / 2.0) * 2 * half
+            b = w.insert_body(
+                RigidBodyBuilder2D.dynamic().with_translation((x, y)))
+            w.insert_collider(ColliderBuilder2D.cuboid(half, half), b)
+            if row == rows - 1:
+                tops.append((b, x, y))
+    w.build()
+    w.step(300)
+    for b, x0, y0 in tops:
+        p = np.asarray(w.body_translation2(b))
+        assert abs(p[1] - y0) < 0.1, f"inverse pyramid collapsed: y={p[1]}"
+        assert abs(p[0] - x0) < 0.25, f"top row slid: x={p[0]} (built {x0})"
+
+
+def test_restitution2_bounce_heights_order():
+    """examples2d/restitution2.rs: balls with increasing restitution
+    rebound to strictly increasing heights."""
+    w = PhysicsWorld2D()
+    g = w.insert_body(RigidBodyBuilder2D.fixed().with_translation((0, -0.1)))
+    w.insert_collider(ColliderBuilder2D.cuboid(20.0, 0.1).with_restitution(1.0), g)
+    balls = []
+    for i, e in enumerate((0.2, 0.5, 0.8)):
+        b = w.insert_body(
+            RigidBodyBuilder2D.dynamic().with_translation((i * 2.0 - 2.0, 3.0)))
+        w.insert_collider(
+            ColliderBuilder2D.ball(0.3).with_restitution(e), b)
+        balls.append(b)
+    w.build()
+    peaks = [0.0] * 3
+    bounced = [False] * 3
+    for _ in range(240):
+        w.step()
+        for i, b in enumerate(balls):
+            vy = float(np.asarray(w.body_linvel2(b))[1])
+            y = float(np.asarray(w.body_translation2(b))[1])
+            if vy > 0.1:
+                bounced[i] = True
+            if bounced[i]:
+                peaks[i] = max(peaks[i], y)
+    assert all(bounced), f"not all balls bounced: {bounced}"
+    assert peaks[0] < peaks[1] < peaks[2], \
+        f"bounce heights must order with restitution: {peaks}"
